@@ -1,0 +1,210 @@
+"""Distance fields: task-space collision and goal costs.
+
+Capability parity with reference ``stoch_gpmp/costs/fields.py`` plus the 2D
+occupancy-grid field (reference ``stoch_gpmp/envs/obst_map.py:164-185``, which
+acts as a field via duck typing). All fields are immutable pytree dataclasses
+whose ``compute_cost`` is pure and fully batched — safe under ``jit``/``vmap``.
+
+The external-dependency surface the reference leaves to ``torch_robotics``
+(``SE3_distance``, reference ``fields.py:4``) is provided natively by
+``stoch_gpmp_tpu.kinematics.se3``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import struct
+
+from stoch_gpmp_tpu.kinematics.se3 import se3_distance
+
+
+def _interpolate_links(
+    link_pos: jnp.ndarray, num_interpolate: int, interpolate_range: Sequence[int]
+) -> jnp.ndarray:
+    """Append ``num_interpolate`` points along each consecutive link segment in
+    ``interpolate_range`` (reference ``fields.py:68-74``).
+
+    ``link_pos``: ``[..., L, 3]`` -> ``[..., L + n_extra, 3]``.
+    """
+    if num_interpolate <= 0:
+        return link_pos
+    alpha = jnp.linspace(0.0, 1.0, num_interpolate + 2, dtype=link_pos.dtype)
+    alpha = alpha[1 : num_interpolate + 1][:, None]  # [n, 1]
+    extras = []
+    for i in range(interpolate_range[0], interpolate_range[1]):
+        x1 = link_pos[..., i, None, :]
+        x2 = link_pos[..., i + 1, None, :]
+        extras.append(x1 + (x2 - x1) * alpha)
+    return jnp.concatenate([link_pos] + extras, axis=-2)
+
+
+@struct.dataclass
+class LinkDistanceField:
+    """Robot-link vs obstacle-sphere field (reference ``fields.py:30-89``).
+
+    ``field_type``: 'rbf' (Gaussian bumps summed), 'sdf' (max signed
+    penetration, optional clamp), or 'occupancy' (count of links inside).
+    """
+
+    field_type: str = struct.field(pytree_node=False, default="rbf")
+    clamp_sdf: bool = struct.field(pytree_node=False, default=False)
+    num_interpolate: int = struct.field(pytree_node=False, default=0)
+    link_interpolate_range: tuple = struct.field(
+        pytree_node=False, default=(5, 7)
+    )
+
+    def _link_positions(self, link_tensor: jnp.ndarray) -> jnp.ndarray:
+        pos = link_tensor[..., :3, -1]
+        return _interpolate_links(
+            pos, self.num_interpolate, self.link_interpolate_range
+        )
+
+    def distances(
+        self, link_tensor: jnp.ndarray, obstacle_spheres: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Signed center distances minus radii: ``[..., L, n_obst]``."""
+        link_pos = link_tensor[..., :3, -1][..., None, :]
+        centers = obstacle_spheres[..., :3]
+        radii = obstacle_spheres[..., 3]
+        return jnp.linalg.norm(link_pos - centers, axis=-1) - radii
+
+    def compute_collision(
+        self,
+        link_tensor: jnp.ndarray,
+        obstacle_spheres: jnp.ndarray | None = None,
+        buffer: float = 0.02,
+    ) -> jnp.ndarray:
+        if obstacle_spheres is None:
+            return jnp.zeros(link_tensor.shape[:-3], dtype=bool)
+        d = self.distances(link_tensor, obstacle_spheres)
+        return jnp.any(d < buffer, axis=(-2, -1))
+
+    def compute_distance(
+        self, link_tensor: jnp.ndarray, obstacle_spheres: jnp.ndarray | None = None, **kw
+    ) -> jnp.ndarray:
+        if obstacle_spheres is None:
+            return jnp.asarray(1e10, dtype=link_tensor.dtype)
+        return self.distances(link_tensor, obstacle_spheres).sum((-1, -2))
+
+    def compute_cost(
+        self,
+        link_tensor: jnp.ndarray,
+        obstacle_spheres: jnp.ndarray | None = None,
+        **kw,
+    ) -> jnp.ndarray:
+        """``link_tensor``: ``[..., L, 4, 4]`` homogeneous link poses;
+        ``obstacle_spheres``: ``[..., n_obst, 4]`` (center xyz, radius).
+        Returns ``[...]`` (reduced over links and obstacles)."""
+        if obstacle_spheres is None:
+            return jnp.zeros(link_tensor.shape[:-3], dtype=link_tensor.dtype)
+        link_pos = self._link_positions(link_tensor)[..., None, :]  # [..., L, 1, 3]
+        centers = obstacle_spheres[..., :3]
+        radii = obstacle_spheres[..., 3]
+        if self.field_type == "rbf":
+            sq = jnp.sum(jnp.square(link_pos - centers), axis=-1)
+            return jnp.exp(-0.5 * sq / jnp.square(radii)).sum((-1, -2))
+        if self.field_type == "sdf":
+            sdf = -jnp.linalg.norm(link_pos - centers, axis=-1) + radii
+            if self.clamp_sdf:
+                sdf = jnp.clip(sdf, max=0.0)
+            return sdf.max((-1, -2))
+        if self.field_type == "occupancy":
+            inside = jnp.linalg.norm(link_pos - centers, axis=-1) < radii
+            return inside.sum((-1, -2)).astype(link_tensor.dtype)
+        raise ValueError(f"unknown field_type: {self.field_type}")
+
+
+@struct.dataclass
+class LinkSelfDistanceField:
+    """Self-collision RBF field between all link-pair positions
+    (reference ``fields.py:92-127``)."""
+
+    margin: float = struct.field(pytree_node=False, default=0.03)
+    num_interpolate: int = struct.field(pytree_node=False, default=0)
+    link_interpolate_range: tuple = struct.field(
+        pytree_node=False, default=(5, 7)
+    )
+
+    def distances(self, link_tensor: jnp.ndarray) -> jnp.ndarray:
+        pos = link_tensor[..., :3, -1]
+        return jnp.linalg.norm(pos[..., None, :] - pos[..., None, :, :], axis=-1)
+
+    def compute_collision(
+        self, link_tensor: jnp.ndarray, buffer: float = 0.05
+    ) -> jnp.ndarray:
+        d = self.distances(link_tensor)
+        below = d < buffer
+        # strictly-lower triangle excluding adjacent links (tril diagonal=-2,
+        # reference fields.py:106)
+        l = d.shape[-1]
+        rows = jnp.arange(l)[:, None]
+        cols = jnp.arange(l)[None, :]
+        mask = rows >= cols + 2
+        return jnp.any(below & mask, axis=(-2, -1))
+
+    def compute_distance(self, link_tensor: jnp.ndarray) -> jnp.ndarray:
+        return self.distances(link_tensor).sum((-1, -2))
+
+    def compute_cost(self, link_tensor: jnp.ndarray, **kw) -> jnp.ndarray:
+        pos = link_tensor[..., :3, -1]
+        pos = _interpolate_links(pos, self.num_interpolate, self.link_interpolate_range)
+        sq = jnp.sum(
+            jnp.square(pos[..., None, :] - pos[..., None, :, :]), axis=-1
+        )
+        return jnp.exp(sq / (-(self.margin**2) * 2.0)).sum((-1, -2))
+
+
+@struct.dataclass
+class EESE3DistanceField:
+    """End-effector SE(3) pose distance to a target transform
+    (reference ``fields.py:130-153``; the last link is the EE)."""
+
+    target_h: jnp.ndarray  # [4, 4]
+    w_pos: float = struct.field(pytree_node=False, default=1.0)
+    w_rot: float = struct.field(pytree_node=False, default=1.0)
+    square: bool = struct.field(pytree_node=False, default=True)
+
+    def update_target(self, target_h: jnp.ndarray) -> "EESE3DistanceField":
+        return self.replace(target_h=target_h)
+
+    def compute_distance(self, link_tensor: jnp.ndarray) -> jnp.ndarray:
+        return se3_distance(
+            link_tensor[..., -1, :, :], self.target_h, w_pos=self.w_pos, w_rot=self.w_rot
+        )
+
+    def compute_cost(self, link_tensor: jnp.ndarray, **kw) -> jnp.ndarray:
+        dist = self.compute_distance(link_tensor)
+        return jnp.square(dist) if self.square else dist
+
+
+@struct.dataclass
+class OccupancyGridField:
+    """2D occupancy-grid lookup field (reference ``obst_map.py:164-185``).
+
+    ``grid``: ``[ny, nx]`` cost values; world frame centered at the map center.
+    Lookup: floor(world / cell_size) + center offset, clamped to bounds, then
+    gather ``grid[y, x]``.
+    """
+
+    grid: jnp.ndarray
+    cell_size: float = struct.field(pytree_node=False, default=1.0)
+
+    def compute_cost(self, x: jnp.ndarray, **kw) -> jnp.ndarray:
+        """``x``: ``[..., 2]`` world positions -> ``[...]`` occupancy cost."""
+        nx = self.grid.shape[1]
+        ny = self.grid.shape[0]
+        offset = jnp.asarray(
+            [nx // 2, ny // 2], dtype=x.dtype
+        )
+        cells = jnp.floor(x / self.cell_size + offset).astype(jnp.int32)
+        cx = jnp.clip(cells[..., 0], 0, nx - 1)
+        cy = jnp.clip(cells[..., 1], 0, ny - 1)
+        return self.grid[cy, cx]
+
+    def compute_collision(self, x: jnp.ndarray, **kw) -> jnp.ndarray:
+        return self.compute_cost(x) > 0
+
+    def compute_distance(self, x: jnp.ndarray, **kw) -> jnp.ndarray:
+        return -self.compute_cost(x)

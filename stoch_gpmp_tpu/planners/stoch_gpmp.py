@@ -1,0 +1,360 @@
+"""StochGPMP: importance-weighted stochastic trajectory optimization.
+
+Capability parity with the reference planner
+(``stoch_gpmp/planner.py:18-348``), redesigned TPU-first:
+
+- The per-iteration pipeline (sample -> cost -> importance-correct -> softmax
+  -> mean update, reference ``planner.py:239-275``) is ONE pure jitted
+  function; ``optimize`` runs it under ``lax.scan`` so a whole optimization
+  runs on-device with zero host round-trips (the reference dispatches every
+  op from Python each iteration).
+- Sampling draws all ``particles x samples`` trajectories with a single
+  batched matmul against the structured prior's materialized ``L^{-T}``
+  (see ``gp/tridiag.py``) instead of rebuilding a dense
+  ``MultivariateNormal`` every iteration
+  (reference ``mp_priors_multi.py:106-110``).
+- The importance cross-term ``V Sigma^{-1} U`` (reference ``planner.py:236``)
+  uses the O(T d^2) block-tridiagonal matvec, never a dense ``M x M`` product.
+- Goals, particles and samples are pure batch axes — shardable across a
+  device mesh (see ``parallel/sharding.py``).
+
+State layout matches the reference: ``particle_means [P, T, d]`` with
+``P = num_goals * num_particles_per_goal`` goal-major, positions in
+``[..., :n_dof]`` and velocities in ``[..., n_dof:]``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from stoch_gpmp_tpu.gp.prior import GPPrior, make_gp_prior
+from stoch_gpmp_tpu.gp.tridiag import BlockBidiagChol, BlockTridiag
+
+
+@struct.dataclass
+class SamplerModel:
+    """The (shared-precision) Gaussian sampler around particle means:
+    structured precision + Cholesky + materialized ``L^{-T}``."""
+
+    precision: BlockTridiag
+    chol: BlockBidiagChol
+    weight_t: jnp.ndarray  # [M, M] = L^{-1}; samples = eps @ weight_t
+
+    @classmethod
+    def from_prior(cls, prior: GPPrior) -> "SamplerModel":
+        return cls(precision=prior.precision, chol=prior.chol, weight_t=prior.weight_t)
+
+
+@struct.dataclass
+class StochGPMPState:
+    """Checkpointable planner state (SURVEY.md §5: particle means + PRNG key
+    are the complete resume state)."""
+
+    particle_means: jnp.ndarray  # [P, T, d]
+    key: jax.Array
+
+
+@struct.dataclass
+class StochGPMPAux:
+    """Per-call outputs mirroring the reference optimize() return tuple
+    (``planner.py:310-317``)."""
+
+    samples: jnp.ndarray  # [P, S, T, d]
+    costs: jnp.ndarray  # [P, S]
+    weights: jnp.ndarray  # [P, S]
+    grad: jnp.ndarray  # [P, T, d]
+
+
+def stoch_gpmp_step(
+    sampler: SamplerModel,
+    cost: Any,
+    state: StochGPMPState,
+    observation: dict,
+    *,
+    num_samples: int,
+    temperature: float,
+    step_size: float,
+    sample_method: str = "dense",
+) -> tuple[StochGPMPState, StochGPMPAux]:
+    """One importance-weighted update of all particle means. Pure function."""
+    means = state.particle_means  # [P, T, d]
+    p, t, d = means.shape
+    key, sub = jax.random.split(state.key)
+
+    # --- sample: x = mu + eps @ L^{-T}^T (one MXU matmul) ---
+    eps = jax.random.normal(sub, (p, num_samples, t, d), dtype=means.dtype)
+    if sample_method == "dense":
+        corr = (eps.reshape(p, num_samples, t * d) @ sampler.weight_t).reshape(
+            p, num_samples, t, d
+        )
+    else:
+        corr = sampler.chol.solve_LT(eps)
+    samples = means[:, None] + corr  # [P, S, T, d]
+
+    # --- cost evaluation (vectorized over the flat batch) ---
+    costs = cost.eval(
+        samples.reshape(p * num_samples, t, d), observation=observation
+    ).reshape(p, num_samples)
+
+    # --- importance-sampling correction: + tau * V Sigma^{-1} U
+    # (reference planner.py:234-236) via structured matvec ---
+    prec_u = sampler.precision.matvec(means)  # [P, T, d]
+    costs = costs + temperature * jnp.einsum("pstd,ptd->ps", samples, prec_u)
+
+    # --- softmax re-weighting and mean update (planner.py:263-275) ---
+    weights = jax.nn.softmax(-costs / temperature, axis=1)  # over samples
+    grad = jnp.einsum("ps,pstd->ptd", weights, samples - means[:, None])
+    new_means = means + step_size * grad
+
+    return (
+        StochGPMPState(particle_means=new_means, key=key),
+        StochGPMPAux(samples=samples, costs=costs, weights=weights, grad=grad),
+    )
+
+
+def stoch_gpmp_optimize(
+    sampler: SamplerModel,
+    cost: Any,
+    state: StochGPMPState,
+    observation: dict,
+    *,
+    opt_iters: int,
+    num_samples: int,
+    temperature: float,
+    step_size: float,
+    sample_method: str = "dense",
+) -> tuple[StochGPMPState, StochGPMPAux]:
+    """Run ``opt_iters`` updates under ``lax.scan``; returns the final state
+    and the LAST iteration's aux (matching the reference's return of the
+    final iteration's samples/costs, ``planner.py:289-317``)."""
+
+    def body(carry, _):
+        new_state, aux = stoch_gpmp_step(
+            sampler,
+            cost,
+            carry,
+            observation,
+            num_samples=num_samples,
+            temperature=temperature,
+            step_size=step_size,
+            sample_method=sample_method,
+        )
+        return new_state, None
+
+    if opt_iters > 1:
+        state, _ = jax.lax.scan(body, state, None, length=opt_iters - 1)
+    return stoch_gpmp_step(
+        sampler,
+        cost,
+        state,
+        observation,
+        num_samples=num_samples,
+        temperature=temperature,
+        step_size=step_size,
+        sample_method=sample_method,
+    )
+
+
+class StochGPMP:
+    """Stateful convenience wrapper with the reference's API surface
+    (``__init__`` kwargs, ``reset``, ``optimize``, ``get_recent_samples``,
+    ``sample_trajectories`` — reference ``planner.py:18-348``).
+
+    All heavy lifting happens in the pure functions above; this class only
+    holds state and the jit cache.
+    """
+
+    def __init__(
+        self,
+        num_particles_per_goal,
+        num_samples,
+        traj_len,
+        opt_iters,
+        dt=None,
+        n_dof=None,
+        step_size=1.0,
+        temperature=1.0,
+        start_state=None,
+        multi_goal_states=None,
+        initial_particle_means=None,
+        cost=None,
+        sigma_start_init=None,
+        sigma_start_sample=None,
+        sigma_goal_init=None,
+        sigma_goal_sample=None,
+        sigma_gp_init=None,
+        sigma_gp_sample=None,
+        seed: int = 0,
+        dtype=jnp.float32,
+        sample_method: str = "dense",
+        **kwargs,
+    ):
+        self.n_dof = n_dof
+        self.d_state_opt = 2 * n_dof
+        self.dt = dt
+        self.traj_len = traj_len
+        self.goal_directed = multi_goal_states is not None
+        self.num_goals = (
+            multi_goal_states.shape[0] if self.goal_directed else 1
+        )
+        self.num_particles_per_goal = num_particles_per_goal
+        self.num_particles = num_particles_per_goal * self.num_goals
+        self.num_samples = num_samples
+        self.opt_iters = opt_iters
+        self.step_size = step_size
+        self.temperature = temperature
+        self.sigma_start_init = sigma_start_init
+        self.sigma_start_sample = sigma_start_sample
+        self.sigma_goal_init = sigma_goal_init
+        self.sigma_goal_sample = sigma_goal_sample
+        self.sigma_gp_init = sigma_gp_init
+        self.sigma_gp_sample = sigma_gp_sample
+        self.cost = cost
+        self.dtype = dtype
+        self.sample_method = sample_method
+        self._key = jax.random.PRNGKey(seed)
+        self._recent_aux: StochGPMPAux | None = None
+
+        self.reset(start_state, multi_goal_states, initial_particle_means)
+
+    # ------------------------------------------------------------------ #
+
+    def reset(
+        self,
+        start_state=None,
+        multi_goal_states=None,
+        initial_particle_means=None,
+    ):
+        if start_state is not None:
+            self.start_state = jnp.asarray(start_state, dtype=self.dtype)
+        if multi_goal_states is not None:
+            self.multi_goal_states = jnp.asarray(multi_goal_states, dtype=self.dtype)
+        elif not self.goal_directed:
+            self.multi_goal_states = None
+
+        goals = self.multi_goal_states if self.goal_directed else None
+
+        # Initialization prior (init sigmas) -> initial particle means,
+        # reference planner.py:205-215.
+        if initial_particle_means is not None:
+            if isinstance(initial_particle_means, str):
+                if initial_particle_means != "const_vel":
+                    raise ValueError(initial_particle_means)
+                from stoch_gpmp_tpu.gp.prior import const_vel_means
+
+                means = const_vel_means(
+                    self.start_state, goals, self.traj_len - 1, self.dt, self.n_dof
+                )
+                means = jnp.tile(means[:, None], (1, self.num_particles_per_goal, 1, 1))
+            else:
+                means = jnp.asarray(initial_particle_means, dtype=self.dtype)
+        else:
+            init_prior = make_gp_prior(
+                self.n_dof,
+                self.traj_len,
+                self.dt,
+                self.start_state,
+                self.sigma_start_init,
+                self.sigma_gp_init,
+                sigma_goal=self.sigma_goal_init if self.goal_directed else None,
+                goal_states=goals,
+                dtype=self.dtype,
+            )
+            self._key, sub = jax.random.split(self._key)
+            means = init_prior.sample(sub, self.num_particles_per_goal)
+        particle_means = means.reshape(
+            self.num_particles, self.traj_len, self.d_state_opt
+        )
+
+        # Sampling prior (sample sigmas) -> shared structured sampler,
+        # reference planner.py:218-227.
+        sample_prior = make_gp_prior(
+            self.n_dof,
+            self.traj_len,
+            self.dt,
+            self.start_state,
+            self.sigma_start_sample,
+            self.sigma_gp_sample,
+            sigma_goal=self.sigma_goal_sample if self.goal_directed else None,
+            goal_states=goals,
+            dtype=self.dtype,
+        )
+        self.sampler = SamplerModel.from_prior(sample_prior)
+        self.state = StochGPMPState(particle_means=particle_means, key=self._key)
+
+        self._jit_optimize = functools.partial(
+            jax.jit,
+            static_argnames=("opt_iters", "num_samples", "temperature", "step_size",
+                             "sample_method"),
+        )(stoch_gpmp_optimize)
+
+    @property
+    def particle_means(self) -> jnp.ndarray:
+        return self.state.particle_means
+
+    @property
+    def Sigma_inv(self) -> BlockTridiag:
+        """Structured precision of the sampling distribution (the reference
+        exposes the dense ``Sigma_inv``, ``planner.py:226``; call
+        ``.to_dense()`` for the dense form)."""
+        return self.sampler.precision
+
+    def optimize(self, opt_iters=None, debug=False, observation=None, **obs_kwargs):
+        """Run the jitted scan; returns the reference's 6-tuple
+        ``(state_particles, control_particles, state_trajectories,
+        control_samples, costs, grad)`` (``planner.py:310-317``)."""
+        observation = dict(observation or {})
+        observation.update(obs_kwargs)
+        iters = self.opt_iters if opt_iters is None else opt_iters
+
+        self.state, aux = self._jit_optimize(
+            self.sampler,
+            self.cost,
+            self.state,
+            observation,
+            opt_iters=iters,
+            num_samples=self.num_samples,
+            temperature=self.temperature,
+            step_size=self.step_size,
+            sample_method=self.sample_method,
+        )
+        self._recent_aux = aux
+        n = self.n_dof
+        means = self.state.particle_means
+        return (
+            means[..., :n],  # state_particles (mean positions)
+            means[..., n:],  # control_particles (mean velocities)
+            aux.samples[..., :n],  # state_trajectories (sample positions)
+            aux.samples[..., n:],  # control_samples (sample velocities)
+            aux.costs,
+            aux.grad,
+        )
+
+    def get_recent_samples(self):
+        """(sample positions, sample velocities) of the last optimize call,
+        shaped ``[P, S, T, n_dof]`` (reference ``planner.py:330-337``)."""
+        aux = self._recent_aux
+        n = self.n_dof
+        return aux.samples[..., :n], aux.samples[..., n:]
+
+    def sample_trajectories(self, num_samples_per_particle: int):
+        """Fresh draws around the current means (reference
+        ``planner.py:339-348``): returns (positions, velocities)."""
+        self._key, sub = jax.random.split(self.state.key)
+        means = self.state.particle_means
+        p, t, d = means.shape
+        eps = jax.random.normal(
+            sub, (p, num_samples_per_particle, t, d), dtype=means.dtype
+        )
+        corr = (eps.reshape(p, -1, t * d) @ self.sampler.weight_t).reshape(
+            p, -1, t, d
+        )
+        samples = means[:, None] + corr
+        self.state = self.state.replace(key=self._key)
+        n = self.n_dof
+        return samples[..., :n], samples[..., n:]

@@ -1,0 +1,135 @@
+"""End-to-end StochGPMP on the planar workload (reference
+``examples/planar_environment.py`` parity config, scaled down where slow)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stoch_gpmp_tpu.costs import (
+    CostCollision,
+    CostComposite,
+    CostGP,
+    CostGoalPrior,
+)
+from stoch_gpmp_tpu.envs import generate_obstacle_map
+from stoch_gpmp_tpu.planners import StochGPMP
+
+
+def _build_planar(dtype=jnp.float32, traj_len=32, num_samples=32, seed=0):
+    n_dof = 2
+    dt = 0.02
+    start_state = jnp.asarray([-9.0, -9.0, 0.0, 0.0], dtype=dtype)
+    multi_goal_states = jnp.asarray(
+        [[9, 6, 0.0, 0.0], [9, -3, 0.0, 0.0], [-3, 9, 0.0, 0.0]], dtype=dtype
+    )
+    obst_map, _ = generate_obstacle_map(
+        map_dim=(20, 20),
+        obst_list=[],
+        cell_size=0.1,
+        random_gen=True,
+        num_obst=10,
+        rand_limits=[[-7.5, 7.5], [-7.5, 7.5]],
+        rand_rect_shape=[2, 2],
+        rng=seed,
+        dtype=dtype,
+    )
+    cost_prior = CostGP.create(
+        n_dof, traj_len, start_state, dt,
+        {"sigma_start": 0.001, "sigma_gp": 0.1}, dtype=dtype,
+    )
+    cost_goal_prior = CostGoalPrior.create(
+        n_dof, traj_len, multi_goal_states, sigma_goal_prior=0.001, dtype=dtype
+    )
+    cost_coll = CostCollision.create(
+        n_dof, traj_len, obst_map.as_field(), sigma_coll=1e-5
+    )
+    cost = CostComposite.create(
+        n_dof, traj_len, [cost_prior, cost_goal_prior, cost_coll]
+    )
+    planner = StochGPMP(
+        num_particles_per_goal=4,
+        num_samples=num_samples,
+        traj_len=traj_len,
+        dt=dt,
+        n_dof=n_dof,
+        opt_iters=1,
+        temperature=1.0,
+        start_state=start_state,
+        multi_goal_states=multi_goal_states,
+        cost=cost,
+        step_size=0.5,
+        sigma_start_init=1e-3,
+        sigma_goal_init=1e-3,
+        sigma_gp_init=20.0,
+        sigma_start_sample=1e-3,
+        sigma_goal_sample=1e-3,
+        sigma_gp_sample=3.0,
+        seed=seed,
+        dtype=dtype,
+    )
+    return planner, obst_map, start_state, multi_goal_states
+
+
+def test_planar_optimize_improves_cost_f32():
+    planner, _, start, goals = _build_planar()
+    _, _, _, _, costs0, _ = planner.optimize(opt_iters=1)
+    assert np.all(np.isfinite(np.asarray(costs0)))
+    _, _, _, _, costs, _ = planner.optimize(opt_iters=100)
+    # costs are per (particle, sample); compare means
+    assert float(costs.mean()) < float(costs0.mean())
+
+
+def test_planar_particles_reach_goals():
+    planner, _, start, goals = _build_planar(traj_len=32, num_samples=64, seed=3)
+    planner.optimize(opt_iters=300)
+    means = np.asarray(planner.particle_means)  # [12, T, 4] goal-major
+    g = np.asarray(goals)
+    per_goal = means.reshape(3, 4, -1, 4)
+    # endpoints should be near their goals (sigma_goal_sample=1e-3 anchors hard)
+    end_err = np.linalg.norm(per_goal[:, :, -1, :2] - g[:, None, :2], axis=-1)
+    assert end_err.max() < 1.0, end_err
+    # starts anchored
+    start_err = np.linalg.norm(per_goal[:, :, 0, :2] - np.asarray(start)[:2], axis=-1)
+    assert start_err.max() < 0.5, start_err
+
+
+def test_state_is_checkpointable_and_deterministic():
+    planner, *_ = _build_planar(seed=7)
+    state0 = planner.state
+    planner.optimize(opt_iters=5)
+    m1 = np.asarray(planner.particle_means)
+    # resume from the saved state -> identical result
+    planner.state = state0
+    planner.optimize(opt_iters=5)
+    m2 = np.asarray(planner.particle_means)
+    np.testing.assert_array_equal(m1, m2)
+
+
+def test_scan_and_dense_sampling_agree_in_planner():
+    p1, *_ = _build_planar(seed=5)
+    p2, *_ = _build_planar(seed=5)
+    p2.sample_method = "scan"
+    p2.state = p1.state
+    p1.optimize(opt_iters=3)
+    p2.optimize(opt_iters=3)
+    np.testing.assert_allclose(
+        np.asarray(p1.particle_means), np.asarray(p2.particle_means),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_optimize_is_jit_cached():
+    planner, *_ = _build_planar()
+    planner.optimize(opt_iters=2)
+    import time
+
+    t0 = time.time()
+    planner.optimize(opt_iters=2)
+    assert time.time() - t0 < 1.0  # no retrace on second call
+
+
+def test_sample_trajectories_shapes():
+    planner, *_ = _build_planar()
+    pos, vel = planner.sample_trajectories(6)
+    assert pos.shape == (12, 6, 32, 2)
+    assert vel.shape == (12, 6, 32, 2)
