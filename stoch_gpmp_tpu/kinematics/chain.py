@@ -1,0 +1,139 @@
+"""Fixed-topology batched differentiable forward kinematics.
+
+The chain topology is resolved at construction (host-side); ``fk`` is a pure
+traced function — the per-joint loop unrolls at trace time into a short chain
+of small matmuls that XLA fuses. Batched over arbitrary leading axes and
+differentiable (used by IK and by the Gauss-Newton planner's field Jacobians).
+
+Replaces the external ``DifferentiableFrankaPanda.compute_forward_kinematics_
+all_links`` contract the reference relies on (``examples/panda_environment.py:
+47-49,98``; shape contract ``[batch, links, 4, 4]`` from
+``cost_functions.py:52``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from stoch_gpmp_tpu.kinematics.se3 import axis_angle_to_matrix, homogeneous, rpy_to_matrix
+from stoch_gpmp_tpu.kinematics.urdf import RobotModel
+
+
+def _topo_sort(model: RobotModel):
+    """Joints ordered so every parent link is resolved before its children."""
+    by_parent: dict[str, list] = {}
+    for j in model.joints:
+        by_parent.setdefault(j.parent_link, []).append(j)
+    ordered = []
+    stack = [model.root_link]
+    while stack:
+        link = stack.pop(0)
+        for j in by_parent.get(link, []):
+            ordered.append(j)
+            stack.append(j.child_link)
+    if len(ordered) != len(model.joints):
+        raise ValueError("joint graph is not a connected tree")
+    return ordered
+
+
+class KinematicChain:
+    """Batched FK over a URDF-derived kinematic tree.
+
+    ``fk(q)``: ``q [..., n_dofs]`` -> link poses ``[..., L, 4, 4]`` where ``L``
+    covers the child links of every joint in topological order (the last
+    entry is the end-effector for serial chains, matching the reference's
+    "EE = last link" convention, ``fields.py:143-144``).
+    """
+
+    def __init__(self, model: RobotModel, link_names: list[str] | None = None,
+                 dtype=jnp.float32):
+        self.model = model
+        self.dtype = dtype
+        self._joints = _topo_sort(model)
+        self.n_dofs = model.n_dofs
+
+        # Static per-joint data.
+        self._origins = np.stack(
+            [
+                np.asarray(
+                    homogeneous(
+                        rpy_to_matrix(jnp.asarray(j.origin_rpy, dtype=jnp.float64)),
+                        jnp.asarray(j.origin_xyz, dtype=jnp.float64),
+                    )
+                )
+                for j in self._joints
+            ]
+        )
+        self._types = [j.joint_type for j in self._joints]
+        self._axes = np.stack([np.asarray(j.axis, dtype=np.float64) for j in self._joints])
+        # dof index per joint (-1 for fixed)
+        self._dof_index = []
+        dof = 0
+        for j in self._joints:
+            if j.actuated:
+                self._dof_index.append(dof)
+                dof += 1
+            else:
+                self._dof_index.append(-1)
+
+        self.all_link_names = [j.child_link for j in self._joints]
+        if link_names is None:
+            link_names = self.all_link_names
+        missing = set(link_names) - set(self.all_link_names)
+        if missing:
+            raise ValueError(f"unknown links: {missing}")
+        self.link_names = list(link_names)
+        self._out_idx = [self.all_link_names.index(n) for n in self.link_names]
+
+        lo, hi, vel = [], [], []
+        for j in self._joints:
+            if j.actuated:
+                lo.append(j.limit_lower if j.limit_lower is not None else -np.inf)
+                hi.append(j.limit_upper if j.limit_upper is not None else np.inf)
+                vel.append(j.limit_velocity if j.limit_velocity is not None else np.inf)
+        self.limits_lower = jnp.asarray(lo, dtype=dtype)
+        self.limits_upper = jnp.asarray(hi, dtype=dtype)
+        self.limits_velocity = jnp.asarray(vel, dtype=dtype)
+
+    def fk(self, q: jnp.ndarray) -> jnp.ndarray:
+        """All selected link poses: ``q [..., n_dofs] -> [..., L, 4, 4]``."""
+        q = jnp.asarray(q, dtype=self.dtype)
+        batch = q.shape[:-1]
+        root = jnp.broadcast_to(jnp.eye(4, dtype=self.dtype), batch + (4, 4))
+        frames = {self.model.root_link: root}
+        out = []
+        for k, joint in enumerate(self._joints):
+            parent = frames[joint.parent_link]
+            origin = jnp.asarray(self._origins[k], dtype=self.dtype)
+            x = parent @ origin
+            if joint.joint_type in ("revolute", "continuous"):
+                qj = q[..., self._dof_index[k]]
+                axis = jnp.asarray(self._axes[k], dtype=self.dtype)
+                rot = axis_angle_to_matrix(
+                    jnp.broadcast_to(axis, batch + (3,)), qj
+                )
+                motion = homogeneous(rot, jnp.zeros(batch + (3,), dtype=self.dtype))
+                x = x @ motion
+            elif joint.joint_type == "prismatic":
+                qj = q[..., self._dof_index[k]]
+                axis = jnp.asarray(self._axes[k], dtype=self.dtype)
+                trans = axis * qj[..., None]
+                motion = homogeneous(
+                    jnp.broadcast_to(jnp.eye(3, dtype=self.dtype), batch + (3, 3)),
+                    trans,
+                )
+                x = x @ motion
+            elif joint.joint_type != "fixed":
+                raise ValueError(f"unsupported joint type {joint.joint_type}")
+            frames[joint.child_link] = x
+            out.append(x)
+        stacked = jnp.stack([out[i] for i in self._out_idx], axis=-3)
+        return stacked
+
+    def ee_pose(self, q: jnp.ndarray) -> jnp.ndarray:
+        """End-effector (last selected link) pose: ``[..., 4, 4]``."""
+        return self.fk(q)[..., -1, :, :]
+
+    def __call__(self, q: jnp.ndarray) -> jnp.ndarray:
+        return self.fk(q)

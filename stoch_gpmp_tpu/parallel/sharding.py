@@ -1,0 +1,89 @@
+"""Multi-chip sharding of the planner over a device mesh.
+
+The reference is strictly single-process/single-device (SURVEY.md §2.3); its
+parallel axes are batch dimensions. Here those axes become mesh axes:
+
+- ``p`` (goals x particles, data-parallel): each device owns a slice of the
+  particle means; the per-particle update is embarrassingly parallel.
+- ``s`` (Monte-Carlo samples, reduction-parallel): each device draws a slice
+  of the samples; the softmax normalization and the weighted-mean reduction
+  over samples become XLA all-reduces over ``s`` (this is the axis that
+  actually exercises ICI collectives).
+
+We annotate shardings with ``NamedSharding``/``with_sharding_constraint`` and
+let GSPMD insert collectives — the scaling-book recipe — rather than writing
+explicit ``psum``s.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from stoch_gpmp_tpu.planners.stoch_gpmp import (
+    SamplerModel,
+    StochGPMPState,
+    stoch_gpmp_optimize,
+)
+
+
+def make_mesh(n_devices: int | None = None, axis_shape=None, axis_names=("p", "s")) -> Mesh:
+    """Create a mesh over the first ``n_devices`` devices.
+
+    Default shape: ``(n // 2, 2)`` for even ``n`` (particles x samples),
+    else ``(n, 1)``.
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if axis_shape is None:
+        axis_shape = (n_devices // 2, 2) if n_devices % 2 == 0 and n_devices > 1 else (n_devices, 1)
+    dev_array = np.asarray(devices).reshape(axis_shape)
+    return Mesh(dev_array, axis_names)
+
+
+def shard_planner_state(mesh: Mesh, state: StochGPMPState) -> StochGPMPState:
+    """Place particle means sharded over the ``p`` axis; replicate the key."""
+    means_sh = NamedSharding(mesh, PartitionSpec("p", None, None))
+    key_sh = NamedSharding(mesh, PartitionSpec())
+    return StochGPMPState(
+        particle_means=jax.device_put(state.particle_means, means_sh),
+        key=jax.device_put(state.key, key_sh),
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (sampler weights, cost constants) across the mesh."""
+    sh = NamedSharding(mesh, PartitionSpec())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), sh), tree)
+
+
+def make_sharded_optimize(mesh: Mesh, **static_kwargs):
+    """Build a jitted multi-chip optimize: means sharded over ``p``, samples
+    over ``(p, s)`` (softmax/weighted-mean reductions over ``s`` ride ICI).
+
+    Returns ``fn(sampler, cost, state, observation) -> (state, aux)``.
+    """
+    sample_spec = NamedSharding(mesh, PartitionSpec("p", "s", None, None))
+
+    def shard_samples(x):
+        return jax.lax.with_sharding_constraint(x, sample_spec)
+
+    def run(sampler, cost, state, observation):
+        return stoch_gpmp_optimize(
+            sampler,
+            cost,
+            state,
+            observation,
+            shard_samples=shard_samples,
+            **static_kwargs,
+        )
+
+    out_state_sh = StochGPMPState(
+        particle_means=NamedSharding(mesh, PartitionSpec("p", None, None)),
+        key=NamedSharding(mesh, PartitionSpec()),
+    )
+    return jax.jit(run, out_shardings=(out_state_sh, None))

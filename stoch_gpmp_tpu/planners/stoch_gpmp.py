@@ -80,14 +80,21 @@ def stoch_gpmp_step(
     temperature: float,
     step_size: float,
     sample_method: str = "dense",
+    shard_samples=None,
 ) -> tuple[StochGPMPState, StochGPMPAux]:
-    """One importance-weighted update of all particle means. Pure function."""
+    """One importance-weighted update of all particle means. Pure function.
+
+    ``shard_samples``: optional callable applying a sharding constraint to the
+    ``[P, S, T, d]`` sample batch (see ``parallel/sharding.py``).
+    """
     means = state.particle_means  # [P, T, d]
     p, t, d = means.shape
     key, sub = jax.random.split(state.key)
 
     # --- sample: x = mu + eps @ L^{-T}^T (one MXU matmul) ---
     eps = jax.random.normal(sub, (p, num_samples, t, d), dtype=means.dtype)
+    if shard_samples is not None:
+        eps = shard_samples(eps)
     if sample_method == "dense":
         corr = (eps.reshape(p, num_samples, t * d) @ sampler.weight_t).reshape(
             p, num_samples, t, d
@@ -95,6 +102,8 @@ def stoch_gpmp_step(
     else:
         corr = sampler.chol.solve_LT(eps)
     samples = means[:, None] + corr  # [P, S, T, d]
+    if shard_samples is not None:
+        samples = shard_samples(samples)
 
     # --- cost evaluation (vectorized over the flat batch) ---
     costs = cost.eval(
@@ -128,6 +137,7 @@ def stoch_gpmp_optimize(
     temperature: float,
     step_size: float,
     sample_method: str = "dense",
+    shard_samples=None,
 ) -> tuple[StochGPMPState, StochGPMPAux]:
     """Run ``opt_iters`` updates under ``lax.scan``; returns the final state
     and the LAST iteration's aux (matching the reference's return of the
@@ -143,6 +153,7 @@ def stoch_gpmp_optimize(
             temperature=temperature,
             step_size=step_size,
             sample_method=sample_method,
+            shard_samples=shard_samples,
         )
         return new_state, None
 
@@ -157,6 +168,7 @@ def stoch_gpmp_optimize(
         temperature=temperature,
         step_size=step_size,
         sample_method=sample_method,
+        shard_samples=shard_samples,
     )
 
 

@@ -1,0 +1,83 @@
+"""Multi-device sharding on the 8-way virtual CPU mesh (conftest sets
+``--xla_force_host_platform_device_count=8``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stoch_gpmp_tpu.costs import CostComposite, CostGP, CostGoalPrior
+from stoch_gpmp_tpu.gp.prior import make_gp_prior
+from stoch_gpmp_tpu.parallel import (
+    make_mesh,
+    make_sharded_optimize,
+    shard_planner_state,
+)
+from stoch_gpmp_tpu.planners import (
+    SamplerModel,
+    StochGPMPState,
+    stoch_gpmp_optimize,
+)
+
+
+def _tiny_problem(num_particles=8, num_samples=4, traj_len=8, dtype=jnp.float32):
+    n_dof, dt = 2, 0.05
+    d = 2 * n_dof
+    start = jnp.zeros(d, dtype=dtype)
+    goals = jnp.asarray(
+        [[1.0, 1, 0, 0], [1, -1, 0, 0], [-1, 1, 0, 0], [-1, -1, 0, 0]], dtype=dtype
+    )
+    prior = make_gp_prior(
+        n_dof, traj_len, dt, start, 1e-2, 1.0, sigma_goal=1e-2, goal_states=goals,
+        dtype=dtype,
+    )
+    sampler = SamplerModel.from_prior(prior)
+    ppg = num_particles // 4
+    means = jnp.repeat(prior.means, ppg, axis=0)
+    state = StochGPMPState(particle_means=means, key=jax.random.PRNGKey(0))
+    cost = CostComposite.create(
+        n_dof,
+        traj_len,
+        [
+            CostGP.create(
+                n_dof, traj_len, start, dt,
+                {"sigma_start": 1e-2, "sigma_gp": 1.0}, dtype=dtype,
+            ),
+            CostGoalPrior.create(n_dof, traj_len, goals, sigma_goal_prior=1e-2, dtype=dtype),
+        ],
+    )
+    return sampler, cost, state, num_samples
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_optimize_matches_single_device():
+    sampler, cost, state, num_samples = _tiny_problem()
+    kwargs = dict(opt_iters=3, num_samples=num_samples, temperature=1.0, step_size=0.5)
+
+    # single device
+    s1, aux1 = jax.jit(
+        lambda sa, c, st, ob: stoch_gpmp_optimize(sa, c, st, ob, **kwargs)
+    )(sampler, cost, state, {})
+
+    # 4x2 mesh: particles x samples
+    mesh = make_mesh(8, axis_shape=(4, 2))
+    sharded = make_sharded_optimize(mesh, **kwargs)
+    s2, aux2 = sharded(sampler, cost, shard_planner_state(mesh, state), {})
+
+    np.testing.assert_allclose(
+        np.asarray(s1.particle_means), np.asarray(s2.particle_means),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux1.costs), np.asarray(aux2.costs), rtol=1e-4, atol=1e-5
+    )
+    # output really is sharded over the mesh
+    assert len(s2.particle_means.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (4, 2)
+    mesh1 = make_mesh(1)
+    assert mesh1.devices.shape == (1, 1)
