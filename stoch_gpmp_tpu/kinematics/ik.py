@@ -1,0 +1,96 @@
+"""Damped-least-squares inverse kinematics in JAX.
+
+Replaces the reference's only remaining PyBullet dependency on the planning
+path: goal-configuration IK (``examples/panda_environment.py:61`` calls
+``Panda.solveInverseKinematics`` wrapping bullet). Pure-JAX Gauss-Newton on
+the 6D pose error with joint-limit clamping; jittable and batched.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from stoch_gpmp_tpu.kinematics.chain import KinematicChain
+
+
+def pose_error(h: jnp.ndarray, target_h: jnp.ndarray) -> jnp.ndarray:
+    """6D error (translation, rotation-vector) between poses ``[..., 4, 4]``."""
+    dt = target_h[..., :3, 3] - h[..., :3, 3]
+    # relative rotation R_err = R_target R^T; rotation vector via skew part
+    r_err = target_h[..., :3, :3] @ jnp.swapaxes(h[..., :3, :3], -1, -2)
+    w = 0.5 * jnp.stack(
+        [
+            r_err[..., 2, 1] - r_err[..., 1, 2],
+            r_err[..., 0, 2] - r_err[..., 2, 0],
+            r_err[..., 1, 0] - r_err[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate([dt, w], axis=-1)
+
+
+def solve_ik(
+    chain: KinematicChain,
+    target_h: jnp.ndarray,
+    q_init: jnp.ndarray,
+    *,
+    num_iters: int = 100,
+    damping: float = 1e-2,
+    step_size: float = 1.0,
+    clamp_limits: bool = True,
+) -> jnp.ndarray:
+    """Solve ``fk(q) ~= target_h`` from ``q_init [n_dof]`` (or batched)."""
+
+    def err_fn(q):
+        return pose_error(chain.ee_pose(q), target_h)
+
+    eye = jnp.eye(chain.n_dofs, dtype=q_init.dtype)
+
+    def body(_, q):
+        e = err_fn(q)
+        j = jax.jacfwd(err_fn)(q)  # [6, n_dof] — J = de/dq
+        jtj = j.T @ j + damping * eye
+        # Gauss-Newton on 1/2 ||e||^2: step = -(J^T J + lambda I)^{-1} J^T e
+        dq = -jnp.linalg.solve(jtj, j.T @ e)
+        q = q + step_size * dq
+        if clamp_limits:
+            q = jnp.clip(q, chain.limits_lower, chain.limits_upper)
+        return q
+
+    return jax.lax.fori_loop(0, num_iters, body, q_init)
+
+
+def solve_ik_multistart(
+    chain: KinematicChain,
+    target_h: jnp.ndarray,
+    key: jax.Array,
+    *,
+    num_starts: int = 16,
+    q_init: jnp.ndarray | None = None,
+    num_iters: int = 100,
+    damping: float = 1e-2,
+    step_size: float = 1.0,
+) -> jnp.ndarray:
+    """Batched random-restart IK: vmapped Gauss-Newton from ``num_starts``
+    uniformly-sampled configurations (plus ``q_init`` if given), returning the
+    configuration with the lowest pose error. Robust to the local minima that
+    trap single-start damped least squares on a 7-DOF arm."""
+    lo = jnp.where(jnp.isfinite(chain.limits_lower), chain.limits_lower, -jnp.pi)
+    hi = jnp.where(jnp.isfinite(chain.limits_upper), chain.limits_upper, jnp.pi)
+    dtype = lo.dtype
+    starts = lo + (hi - lo) * jax.random.uniform(
+        key, (num_starts, chain.n_dofs), dtype=dtype
+    )
+    if q_init is not None:
+        starts = jnp.concatenate([q_init[None].astype(dtype), starts], axis=0)
+
+    solve = jax.vmap(
+        lambda q0: solve_ik(
+            chain, target_h, q0,
+            num_iters=num_iters, damping=damping, step_size=step_size,
+        )
+    )
+    qs = solve(starts)
+    errs = jax.vmap(lambda q: jnp.linalg.norm(pose_error(chain.ee_pose(q), target_h)))(qs)
+    return qs[jnp.argmin(errs)]

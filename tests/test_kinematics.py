@@ -1,0 +1,201 @@
+"""Kinematics: SE(3) utilities, URDF parsing, Panda FK, IK."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from stoch_gpmp_tpu.kinematics import (
+    axis_angle_to_matrix,
+    homogeneous,
+    matrix_to_quaternion,
+    quaternion_to_matrix,
+    rpy_to_matrix,
+    se3_distance,
+    x_rot,
+    y_rot,
+    z_rot,
+)
+from stoch_gpmp_tpu.kinematics.ik import pose_error, solve_ik
+from stoch_gpmp_tpu.kinematics.panda_model import (
+    PANDA_NO_GRIPPER,
+    DifferentiableFrankaPanda,
+    franka_panda,
+)
+from stoch_gpmp_tpu.kinematics.urdf import parse_urdf
+
+
+def test_rotations_vs_scipy():
+    rng = np.random.default_rng(0)
+    for theta in rng.uniform(-np.pi, np.pi, 5):
+        np.testing.assert_allclose(
+            np.asarray(x_rot(jnp.asarray(theta))),
+            Rotation.from_euler("x", theta).as_matrix(),
+            atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(z_rot(jnp.asarray(theta))),
+            Rotation.from_euler("z", theta).as_matrix(),
+            atol=1e-7,
+        )
+    rpy = rng.uniform(-np.pi, np.pi, 3)
+    np.testing.assert_allclose(
+        np.asarray(rpy_to_matrix(jnp.asarray(rpy))),
+        Rotation.from_euler("xyz", rpy).as_matrix(),  # URDF fixed-axis rpy
+        atol=1e-7,
+    )
+
+
+def test_axis_angle_vs_scipy():
+    rng = np.random.default_rng(1)
+    axis = rng.standard_normal(3)
+    axis /= np.linalg.norm(axis)
+    angle = 1.3
+    np.testing.assert_allclose(
+        np.asarray(axis_angle_to_matrix(jnp.asarray(axis), jnp.asarray(angle))),
+        Rotation.from_rotvec(axis * angle).as_matrix(),
+        atol=1e-7,
+    )
+
+
+def test_quaternion_roundtrip():
+    rng = np.random.default_rng(2)
+    for _ in range(10):
+        r = Rotation.random(random_state=rng)
+        m = jnp.asarray(r.as_matrix())
+        q = np.asarray(matrix_to_quaternion(m))
+        want = r.as_quat()  # scipy: [x, y, z, w]
+        if np.dot(q, want) < 0:
+            want = -want
+        np.testing.assert_allclose(q, want, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(quaternion_to_matrix(jnp.asarray(q))), r.as_matrix(), atol=1e-6
+        )
+
+
+def test_se3_distance():
+    h1 = homogeneous(jnp.eye(3), jnp.asarray([0.0, 0.0, 0.0]))
+    h2 = homogeneous(z_rot(jnp.asarray(0.5)), jnp.asarray([3.0, 4.0, 0.0]))
+    d = float(se3_distance(h1, h2, w_pos=1.0, w_rot=2.0))
+    np.testing.assert_allclose(d, 5.0 + 2 * 0.5, rtol=1e-5)
+
+
+def _fk_oracle_scipy(q):
+    """Independent FK using scipy Rotation over the same joint data."""
+    frames = {"base_link": np.eye(4)}
+    qi = 0
+    out = {}
+    for j in PANDA_NO_GRIPPER.joints:
+        t = np.eye(4)
+        t[:3, :3] = Rotation.from_euler("xyz", j.origin_rpy).as_matrix()
+        t[:3, 3] = j.origin_xyz
+        x = frames[j.parent_link] @ t
+        if j.actuated:
+            m = np.eye(4)
+            m[:3, :3] = Rotation.from_rotvec(np.asarray(j.axis) * q[qi]).as_matrix()
+            x = x @ m
+            qi += 1
+        frames[j.child_link] = x
+        out[j.child_link] = x
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_panda_fk_matches_scipy_oracle(seed):
+    chain = franka_panda(dtype=jnp.float64)
+    rng = np.random.default_rng(seed)
+    q = rng.uniform(np.asarray(chain.limits_lower), np.asarray(chain.limits_upper))
+    got = np.asarray(chain.fk(jnp.asarray(q)))  # [L, 4, 4]
+    oracle = _fk_oracle_scipy(q)
+    for i, name in enumerate(chain.link_names):
+        np.testing.assert_allclose(got[i], oracle[name], atol=1e-9, err_msg=name)
+
+
+def test_panda_fk_known_geometry():
+    chain = franka_panda(dtype=jnp.float64)
+    q = jnp.zeros(7, dtype=jnp.float64)
+    poses = np.asarray(chain.fk(q))
+    # link1 origin is 0.333 m above base at any q
+    np.testing.assert_allclose(poses[0][:3, 3], [0, 0, 0.333], atol=1e-12)
+    # at q=0 the arm is fully upright: link4 x-offset 0.0825
+    np.testing.assert_allclose(poses[3][:3, 3], [0.0825, 0.0, 0.333 + 0.316], atol=1e-9)
+    # rotations stay orthonormal for random q
+    rng = np.random.default_rng(3)
+    qr = jnp.asarray(rng.uniform(-1, 1, (5, 7)))
+    p = np.asarray(chain.fk(qr))  # [5, L, 4, 4]
+    rtr = np.einsum("blij,blik->bljk", p[..., :3, :3], p[..., :3, :3])
+    np.testing.assert_allclose(rtr, np.broadcast_to(np.eye(3), rtr.shape), atol=1e-10)
+    np.testing.assert_allclose(p[..., 3, :], np.broadcast_to([0, 0, 0, 1], p[..., 3, :].shape), atol=1e-12)
+
+
+def test_fk_batching_and_jit():
+    chain = franka_panda()
+    q = jnp.zeros((4, 6, 7))
+    poses = jax.jit(chain.fk)(q)
+    assert poses.shape == (4, 6, 9, 4, 4)
+
+
+def test_fk_is_differentiable():
+    chain = franka_panda(dtype=jnp.float64)
+
+    def ee_z(q):
+        return chain.ee_pose(q)[2, 3]
+
+    g = jax.grad(ee_z)(jnp.zeros(7, dtype=jnp.float64))
+    assert g.shape == (7,)
+    # finite-difference check
+    eps = 1e-6
+    for i in range(7):
+        qp = jnp.zeros(7, dtype=jnp.float64).at[i].set(eps)
+        qm = jnp.zeros(7, dtype=jnp.float64).at[i].set(-eps)
+        fd = (ee_z(qp) - ee_z(qm)) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), float(fd), atol=1e-6)
+
+
+def test_urdf_parser_on_reference_asset():
+    """Optional: when the reference checkout is present, parsing its Panda
+    URDF must reproduce the embedded model's FK."""
+    import os
+
+    path = "/root/reference/assets/franka_description/robots/panda_no_gripper.urdf"
+    if not os.path.exists(path):
+        pytest.skip("reference assets unavailable")
+    model = parse_urdf(path)
+    assert model.n_dofs == 7
+    from stoch_gpmp_tpu.kinematics.chain import KinematicChain
+
+    parsed = KinematicChain(model, dtype=jnp.float64)
+    builtin = franka_panda(dtype=jnp.float64)
+    q = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, 7))
+    # compare the common EE frame
+    np.testing.assert_allclose(
+        np.asarray(parsed.fk(q)[parsed.link_names.index("ee_link")]),
+        np.asarray(builtin.fk(q)[builtin.link_names.index("ee_link")]),
+        atol=1e-9,
+    )
+
+
+def test_ik_converges_to_reachable_pose():
+    chain = franka_panda(dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    q_true = jnp.asarray(
+        rng.uniform(
+            np.asarray(chain.limits_lower) * 0.5, np.asarray(chain.limits_upper) * 0.5
+        )
+    )
+    target = chain.ee_pose(q_true)
+    q0 = jnp.asarray([0.0, -0.5, 0.0, -2.0, 0.0, 2.0, 0.0], dtype=jnp.float64)
+    from stoch_gpmp_tpu.kinematics.ik import solve_ik_multistart
+
+    q = solve_ik_multistart(
+        chain, target, jax.random.PRNGKey(0), num_starts=16, q_init=q0,
+        num_iters=200, damping=1e-3,
+    )
+    err = pose_error(chain.ee_pose(q), target)
+    assert float(jnp.linalg.norm(err[:3])) < 1e-3  # position
+    assert float(jnp.linalg.norm(err[3:])) < 1e-2  # rotation
+    # joint limits respected
+    assert bool(jnp.all(q >= chain.limits_lower)) and bool(jnp.all(q <= chain.limits_upper))
