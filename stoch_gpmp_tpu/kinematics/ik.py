@@ -15,18 +15,31 @@ from stoch_gpmp_tpu.kinematics.chain import KinematicChain
 
 
 def pose_error(h: jnp.ndarray, target_h: jnp.ndarray) -> jnp.ndarray:
-    """6D error (translation, rotation-vector) between poses ``[..., 4, 4]``."""
+    """6D error (translation, SO(3) log-map rotation vector) between poses
+    ``[..., 4, 4]``.
+
+    The rotation error is the full log map ``theta * axis`` — the bare skew
+    part ``sin(theta) * axis`` vanishes at 180-degree flips, which lets IK
+    silently accept orientation-flipped solutions.
+    """
     dt = target_h[..., :3, 3] - h[..., :3, 3]
-    # relative rotation R_err = R_target R^T; rotation vector via skew part
     r_err = target_h[..., :3, :3] @ jnp.swapaxes(h[..., :3, :3], -1, -2)
-    w = 0.5 * jnp.stack(
+    skew = 0.5 * jnp.stack(
         [
             r_err[..., 2, 1] - r_err[..., 1, 2],
             r_err[..., 0, 2] - r_err[..., 2, 0],
             r_err[..., 1, 0] - r_err[..., 0, 1],
         ],
         axis=-1,
-    )
+    )  # = sin(theta) * axis
+    tr = r_err[..., 0, 0] + r_err[..., 1, 1] + r_err[..., 2, 2]
+    cos = jnp.clip((tr - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(cos)
+    sin = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 1e-12))
+    # log-map scaling theta/sin(theta); near theta=pi the skew direction
+    # degrades but stays nonzero under the eps clamps, so GN keeps a usable
+    # descent direction instead of a spurious fixed point.
+    w = skew * (theta / sin)[..., None]
     return jnp.concatenate([dt, w], axis=-1)
 
 
@@ -92,5 +105,13 @@ def solve_ik_multistart(
         )
     )
     qs = solve(starts)
-    errs = jax.vmap(lambda q: jnp.linalg.norm(pose_error(chain.ee_pose(q), target_h)))(qs)
+
+    def true_err(q):
+        # geodesic SE(3) distance (sees 180-degree flips, unlike the raw
+        # skew-part error)
+        from stoch_gpmp_tpu.kinematics.se3 import se3_distance
+
+        return se3_distance(chain.ee_pose(q), target_h)
+
+    errs = jax.vmap(true_err)(qs)
     return qs[jnp.argmin(errs)]
