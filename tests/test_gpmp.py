@@ -1,0 +1,154 @@
+"""GPMP Gauss-Newton planner: structured solve vs dense oracle, convergence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stoch_gpmp_tpu.costs import (
+    CostCollision,
+    CostComposite,
+    CostGP,
+    CostGoalPrior,
+    OccupancyGridField,
+)
+from stoch_gpmp_tpu.planners.gpmp import GPMP, GPMPState, gpmp_step
+
+
+def _quad_problem(dtype=jnp.float64, traj_len=12):
+    n_dof, dt = 2, 0.05
+    d = 2 * n_dof
+    start = jnp.asarray([0.0, 0.0, 0.0, 0.0], dtype=dtype)
+    goals = jnp.asarray([[2.0, 1.0, 0, 0], [-1.0, 2.0, 0, 0]], dtype=dtype)
+    cost = CostComposite.create(
+        n_dof,
+        traj_len,
+        [
+            CostGP.create(
+                n_dof, traj_len, start, dt,
+                {"sigma_start": 0.01, "sigma_gp": 0.5}, dtype=dtype,
+            ),
+            CostGoalPrior.create(n_dof, traj_len, goals, sigma_goal_prior=0.02, dtype=dtype),
+        ],
+    )
+    return cost, start, goals, n_dof, traj_len, dt
+
+
+def test_structured_solve_matches_dense():
+    cost, start, goals, n_dof, traj_len, dt = _quad_problem()
+    rng = np.random.default_rng(0)
+    means = jnp.asarray(rng.standard_normal((4, traj_len, 2 * n_dof)))
+    state = GPMPState(particle_means=means, key=jax.random.PRNGKey(0))
+    s_chol = gpmp_step(cost, state, {}, delta=1e-3, trust_region=False, method="cholesky")
+    s_dense = gpmp_step(cost, state, {}, delta=1e-3, trust_region=False, method="inverse")
+    np.testing.assert_allclose(
+        np.asarray(s_chol.particle_means),
+        np.asarray(s_dense.particle_means),
+        rtol=1e-7,
+        atol=1e-9,
+    )
+
+
+def test_trust_region_branch_matches_dense():
+    cost, *_ = _quad_problem()
+    rng = np.random.default_rng(1)
+    means = jnp.asarray(rng.standard_normal((4, 12, 4)))
+    state = GPMPState(particle_means=means, key=jax.random.PRNGKey(0))
+    s1 = gpmp_step(cost, state, {}, delta=0.1, trust_region=True, method="cholesky")
+    s2 = gpmp_step(cost, state, {}, delta=0.1, trust_region=True, method="inverse")
+    np.testing.assert_allclose(
+        np.asarray(s1.particle_means), np.asarray(s2.particle_means), rtol=1e-7, atol=1e-9
+    )
+
+
+def test_gn_converges_to_quadratic_optimum_in_one_step():
+    """For a purely quadratic cost, one full GN step (step_size=1, delta=0)
+    lands on the global optimum: the gradient there must vanish."""
+    cost, start, goals, n_dof, traj_len, dt = _quad_problem()
+    rng = np.random.default_rng(2)
+    means = jnp.asarray(rng.standard_normal((2, traj_len, 4)))
+    state = GPMPState(particle_means=means, key=jax.random.PRNGKey(0))
+    new = gpmp_step(cost, state, {}, delta=0.0, trust_region=False, method="cholesky")
+    g = cost.gn_contrib(new.particle_means, observation={}).g
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+    # a second step must not move (already optimal)
+    again = gpmp_step(cost, new, {}, delta=0.0, trust_region=False, method="cholesky")
+    np.testing.assert_allclose(
+        np.asarray(again.particle_means), np.asarray(new.particle_means), atol=1e-6
+    )
+
+
+def test_gpmp_planner_end_to_end_with_obstacles():
+    dtype = jnp.float64
+    n_dof, traj_len, dt = 2, 24, 0.05
+    start = jnp.asarray([-2.0, -2.0, 0.0, 0.0], dtype=dtype)
+    goals = jnp.asarray([[2.0, 2.0, 0.0, 0.0]], dtype=dtype)
+    grid = jnp.zeros((40, 40), dtype=dtype).at[18:22, 18:22].set(1.0)
+    field = OccupancyGridField(grid=grid, cell_size=0.1)
+    cost = CostComposite.create(
+        n_dof,
+        traj_len,
+        [
+            CostGP.create(
+                n_dof, traj_len, start, dt,
+                {"sigma_start": 0.01, "sigma_gp": 0.5}, dtype=dtype,
+            ),
+            CostGoalPrior.create(n_dof, traj_len, goals, sigma_goal_prior=0.01, dtype=dtype),
+            CostCollision.create(n_dof, traj_len, field, sigma_coll=0.1),
+        ],
+    )
+    planner = GPMP(
+        num_particles_per_goal=3,
+        traj_len=traj_len,
+        opt_iters=1,
+        dt=dt,
+        n_dof=n_dof,
+        step_size=0.5,
+        start_state=start,
+        multi_goal_states=goals,
+        cost=cost,
+        sigma_start_init=0.01,
+        sigma_goal_init=0.01,
+        sigma_gp_init=2.0,
+        sigma_start_sample=0.01,
+        sigma_goal_sample=0.01,
+        sigma_gp_sample=0.5,
+        solver_params={"delta": 1e-2, "trust_region": False, "method": "cholesky"},
+        seed=0,
+        dtype=dtype,
+    )
+    c0 = np.asarray(
+        planner.cost.eval(planner.particle_means.reshape(3, -1), observation={})
+    )
+    vel, pos, costs = planner.optimize(opt_iters=60)
+    assert np.all(np.isfinite(np.asarray(costs)))
+    assert float(np.asarray(costs).mean()) < float(c0.mean())
+    # endpoints anchored
+    end = np.asarray(pos[:, -1])
+    assert np.abs(end - np.asarray(goals)[0, :2]).max() < 0.3
+    st = np.asarray(pos[:, 0])
+    assert np.abs(st - np.asarray(start)[:2]).max() < 0.1
+
+
+def test_gpmp_sample_trajectories():
+    cost, start, goals, n_dof, traj_len, dt = _quad_problem()
+    planner = GPMP(
+        num_particles_per_goal=2,
+        traj_len=traj_len,
+        opt_iters=1,
+        dt=dt,
+        n_dof=n_dof,
+        start_state=start,
+        multi_goal_states=goals,
+        cost=cost,
+        sigma_start_init=0.01,
+        sigma_goal_init=0.01,
+        sigma_gp_init=2.0,
+        sigma_start_sample=0.01,
+        sigma_goal_sample=0.01,
+        sigma_gp_sample=0.5,
+        solver_params={"delta": 0.0, "trust_region": False, "method": "cholesky"},
+        dtype=jnp.float64,
+    )
+    pos, vel = planner.sample_trajectories(5)
+    assert pos.shape == (4, 5, traj_len, 2)
+    assert vel.shape == (4, 5, traj_len, 2)
