@@ -21,13 +21,13 @@ def main():
     from stoch_gpmp_tpu.planners import stoch_gpmp_optimize
 
     sampler, cost, state = _build_problem(
-        n_dof=2, traj_len=64, num_goals=3, ppg=5, with_obstacles=True
+        n_dof=2, traj_len=64, num_goals=3, ppg=5, with_obstacles=True, fast=True
     )
     num_particles = state.particle_means.shape[0]
     num_samples = 128
 
     kwargs = dict(
-        opt_iters=200, num_samples=num_samples, temperature=1.0, step_size=0.5
+        opt_iters=5000, num_samples=num_samples, temperature=1.0, step_size=0.5
     )
     run = jax.jit(
         lambda sa, c, st, ob: stoch_gpmp_optimize(sa, c, st, ob, **kwargs)
@@ -39,13 +39,14 @@ def main():
     st, aux = run(sampler, cost, state, {})
     _ = np.asarray(st.particle_means)
 
-    # timed: several chunks of 200 scanned iterations
-    n_chunks = 5
+    # timed: chunks of 5000 scanned iterations, full readback each chunk
+    n_chunks = 2
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         st, aux = run(sampler, cost, st, {})
         _ = np.asarray(st.particle_means)
     elapsed = time.perf_counter() - t0
+    assert np.all(np.isfinite(np.asarray(st.particle_means)))
 
     iters = n_chunks * kwargs["opt_iters"]
     updates_per_sec = num_particles * iters / elapsed

@@ -1,0 +1,108 @@
+"""Fused dense quadratic cost: the MXU fast path for the planner hot loop.
+
+``CostGP`` + ``CostGoalPrior`` (and the start anchor) are all quadratic forms
+in the flattened trajectory ``x [M]``:
+
+    cost(x) = x^T A x - 2 b^T x + c
+
+with a SHARED ``A`` (block-tridiagonal, but at M <= ~1k a dense apply is one
+MXU matmul and beats a structured apply's chain of small ops) and per-goal
+``(b, c)``. Evaluating for the whole ``particles x samples`` batch is then a
+single ``[B, M] @ [M, M]`` matmul plus row-dots — replacing dozens of small
+VPU einsums that leave the TPU latency-bound.
+
+Exactly equal (tested) to ``CostGP.eval + CostGoalPrior.eval``. The
+block-tridiagonal blocks are kept alongside the dense matrix so the
+Gauss-Newton path still gets its structured contribution.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from stoch_gpmp_tpu.costs.costs import Cost, CostGP, CostGoalPrior, GNContrib
+from stoch_gpmp_tpu.gp.prior import build_precision
+from stoch_gpmp_tpu.gp.tridiag import BlockTridiag
+
+
+@struct.dataclass
+class QuadraticCost(Cost):
+    a_dense: jnp.ndarray  # [M, M]
+    a_diag: jnp.ndarray  # [T, d, d] block-tridiagonal form of A
+    a_lower: jnp.ndarray  # [T-1, d, d]
+    b: jnp.ndarray  # [G, M]
+    c: jnp.ndarray  # [G]
+    num_goals: int = struct.field(pytree_node=False)
+    traj_len: int = struct.field(pytree_node=False)
+    state_dim: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def from_gp_and_goal_prior(
+        cls, gp: CostGP, goal_prior: CostGoalPrior | None, traj_len: int
+    ) -> "QuadraticCost":
+        """Fuse a ``CostGP`` (start anchor + GP smoothness) and optionally a
+        ``CostGoalPrior`` into one dense quadratic."""
+        d = gp.start_state.shape[-1]
+        dof = d // 2
+        dtype = gp.start_state.dtype
+        k_g = goal_prior.k_goal if goal_prior is not None else None
+        # A = the same block-tridiagonal precision the prior builder makes
+        # (dt is baked into gp.phi / gp.q_inv; build directly from blocks).
+        pqp = gp.phi.T @ gp.q_inv @ gp.phi
+        diag = jnp.tile(gp.q_inv + pqp, (traj_len, 1, 1))
+        diag = diag.at[0].set(gp.k_start + pqp)
+        last = gp.q_inv if k_g is None else gp.q_inv + k_g
+        diag = diag.at[traj_len - 1].set(last)
+        lower = jnp.tile(-(gp.q_inv @ gp.phi), (traj_len - 1, 1, 1))
+        a_dense = BlockTridiag(diag=diag, lower=lower).to_dense()
+
+        m = traj_len * d
+        if goal_prior is not None:
+            goals = goal_prior.multi_goal_states  # [G, d]
+            g = goals.shape[0]
+        else:
+            g = 1
+        b = jnp.zeros((g, m), dtype=dtype)
+        # start anchor: e0 = s - x0 -> linear term K_s s in block 0
+        b = b.at[:, :d].set(jnp.einsum("ij,j->i", gp.k_start, gp.start_state))
+        c = jnp.full(
+            (g,), jnp.einsum("i,ij,j->", gp.start_state, gp.k_start, gp.start_state),
+            dtype=dtype,
+        )
+        if goal_prior is not None:
+            b = b.at[:, -d:].add(jnp.einsum("ij,gj->gi", k_g, goals))
+            c = c + jnp.einsum("gi,ij,gj->g", goals, k_g, goals)
+        return cls(
+            a_dense=a_dense,
+            a_diag=diag,
+            a_lower=lower,
+            b=b,
+            c=c,
+            num_goals=g,
+            traj_len=traj_len,
+            state_dim=d,
+        )
+
+    def eval(self, trajs, x_trajs=None, observation=None):
+        batch = trajs.shape[0]
+        x = trajs.reshape(batch, -1)  # [B, M]
+        quad = jnp.sum((x @ self.a_dense) * x, axis=-1)
+        xg = x.reshape(self.num_goals, -1, x.shape[-1])
+        lin = jnp.einsum("gbm,gm->gb", xg, self.b).reshape(batch)
+        cg = jnp.repeat(self.c, batch // self.num_goals)
+        return quad - 2.0 * lin + cg
+
+    def gn_contrib(self, trajs, x_trajs=None, observation=None):
+        batch = trajs.shape[0]
+        t, d = self.traj_len, self.state_dim
+        trajs = trajs.reshape(batch, t, d)
+        diag = jnp.broadcast_to(self.a_diag, (batch, t, d, d))
+        lower = jnp.broadcast_to(self.a_lower, (batch, t - 1, d, d))
+        # g = b_p - A x (gradient of 1/2 quad form with the reference's
+        # A = -dE/dx convention: identical to CostGP/CostGoalPrior sums)
+        x = trajs.reshape(batch, -1)
+        ax = x @ self.a_dense
+        bg = jnp.repeat(self.b, batch // self.num_goals, axis=0)
+        g = (bg - ax).reshape(batch, t, d)
+        return GNContrib(diag=diag, lower=lower, g=g)

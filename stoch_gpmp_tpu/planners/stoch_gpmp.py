@@ -39,15 +39,27 @@ from stoch_gpmp_tpu.gp.tridiag import BlockBidiagChol, BlockTridiag
 @struct.dataclass
 class SamplerModel:
     """The (shared-precision) Gaussian sampler around particle means:
-    structured precision + Cholesky + materialized ``L^{-T}``."""
+    structured precision + Cholesky + materialized ``L^{-T}``.
+
+    ``precision_dense`` is the dense ``[M, M]`` precision kept alongside the
+    structured form: at planner scales (M <= ~1k) applying it as one MXU
+    matmul in the hot loop beats the O(T d^2) chain of small block ops (the
+    structured form remains the numerically-stable construction path and the
+    memory-efficient choice for long horizons)."""
 
     precision: BlockTridiag
     chol: BlockBidiagChol
     weight_t: jnp.ndarray  # [M, M] = L^{-1}; samples = eps @ weight_t
+    precision_dense: jnp.ndarray  # [M, M]
 
     @classmethod
     def from_prior(cls, prior: GPPrior) -> "SamplerModel":
-        return cls(precision=prior.precision, chol=prior.chol, weight_t=prior.weight_t)
+        return cls(
+            precision=prior.precision,
+            chol=prior.chol,
+            weight_t=prior.weight_t,
+            precision_dense=prior.precision.to_dense(),
+        )
 
 
 @struct.dataclass
@@ -89,21 +101,27 @@ def stoch_gpmp_step(
     """
     means = state.particle_means  # [P, T, d]
     p, t, d = means.shape
+    m = t * d
+    means_flat = means.reshape(p, m)
     key, sub = jax.random.split(state.key)
 
     # --- sample: x = mu + eps @ L^{-T}^T (one MXU matmul) ---
-    eps = jax.random.normal(sub, (p, num_samples, t, d), dtype=means.dtype)
+    eps = jax.random.normal(sub, (p, num_samples, m), dtype=means.dtype)
     if shard_samples is not None:
-        eps = shard_samples(eps)
-    if sample_method == "dense":
-        corr = (eps.reshape(p, num_samples, t * d) @ sampler.weight_t).reshape(
-            p, num_samples, t, d
+        eps = shard_samples(eps.reshape(p, num_samples, t, d)).reshape(
+            p, num_samples, m
         )
+    if sample_method == "dense":
+        corr = eps @ sampler.weight_t
     else:
-        corr = sampler.chol.solve_LT(eps)
-    samples = means[:, None] + corr  # [P, S, T, d]
+        corr = sampler.chol.solve_LT(eps.reshape(p, num_samples, t, d)).reshape(
+            p, num_samples, m
+        )
+    flat = means_flat[:, None] + corr  # [P, S, M]
+    samples = flat.reshape(p, num_samples, t, d)
     if shard_samples is not None:
         samples = shard_samples(samples)
+        flat = samples.reshape(p, num_samples, m)
 
     # --- cost evaluation (vectorized over the flat batch) ---
     costs = cost.eval(
@@ -111,13 +129,16 @@ def stoch_gpmp_step(
     ).reshape(p, num_samples)
 
     # --- importance-sampling correction: + tau * V Sigma^{-1} U
-    # (reference planner.py:234-236) via structured matvec ---
-    prec_u = sampler.precision.matvec(means)  # [P, T, d]
-    costs = costs + temperature * jnp.einsum("pstd,ptd->ps", samples, prec_u)
+    # (reference planner.py:234-236); Sigma^{-1} applied as one dense MXU
+    # matmul (precision is symmetric) ---
+    prec_u = means_flat @ sampler.precision_dense  # [P, M]
+    costs = costs + temperature * jnp.einsum("psm,pm->ps", flat, prec_u)
 
     # --- softmax re-weighting and mean update (planner.py:263-275) ---
     weights = jax.nn.softmax(-costs / temperature, axis=1)  # over samples
-    grad = jnp.einsum("ps,pstd->ptd", weights, samples - means[:, None])
+    grad = jnp.einsum("ps,psm->pm", weights, flat - means_flat[:, None]).reshape(
+        p, t, d
+    )
     new_means = means + step_size * grad
 
     return (
@@ -204,8 +225,13 @@ class StochGPMP:
         seed: int = 0,
         dtype=jnp.float32,
         sample_method: str = "dense",
+        prng_impl: str | None = None,
         **kwargs,
     ):
+        # prng_impl: None -> jax default (threefry: reproducible and stable
+        # under sharding). 'rbg'/'unsafe_rbg' use the TPU-native hardware
+        # generator — ~2x faster planner iterations, but bit patterns may vary
+        # across backends/shardings.
         self.n_dof = n_dof
         self.d_state_opt = 2 * n_dof
         self.dt = dt
@@ -229,7 +255,10 @@ class StochGPMP:
         self.cost = cost
         self.dtype = dtype
         self.sample_method = sample_method
-        self._key = jax.random.PRNGKey(seed)
+        if prng_impl is None:
+            self._key = jax.random.PRNGKey(seed)
+        else:
+            self._key = jax.random.key(seed, impl=prng_impl)
         self._recent_aux: StochGPMPAux | None = None
 
         self.reset(start_state, multi_goal_states, initial_particle_means)
