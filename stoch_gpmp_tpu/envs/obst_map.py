@@ -94,9 +94,15 @@ class ObstacleCircle(Obstacle):
         jj = np.arange(c_x - 2 * c_r + obst_map.origin_xi, c_x + 2 * c_r + obst_map.origin_xi)
         px = (jj - obst_map.origin_xi) * cs
         py = (ii - obst_map.origin_yi) * cs
+        # sqrt-then-compare matches the reference's norm(p - c) <= r at
+        # boundary-exact cells (squared comparison flips a few of them)
         inside = (
-            (px[None, :] - self.center_x) ** 2 + (py[:, None] - self.center_y) ** 2
-        ) <= self.radius**2
+            np.sqrt(
+                (px[None, :] - self.center_x) ** 2
+                + (py[:, None] - self.center_y) ** 2
+            )
+            <= self.radius
+        )
         iw, jw = np.meshgrid(ii, jj, indexing="ij")
         sel = inside & (iw >= 0) & (iw < obst_map.map.shape[0]) & (jw >= 0) & (
             jw < obst_map.map.shape[1]
