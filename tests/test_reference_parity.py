@@ -18,6 +18,32 @@ REF = "/root/reference"
 if REF not in sys.path:
     sys.path.insert(0, REF)
 
+
+def _stub_torch_robotics():
+    """The reference's fields.py imports torch_robotics at module level but
+    LinkDistanceField/LinkSelfDistanceField never use it; stub the import so
+    those classes are testable without the external package."""
+    import types
+
+    if "torch_robotics" in sys.modules:
+        return
+    names = [
+        "torch_robotics",
+        "torch_robotics.torch_kinematics_tree",
+        "torch_robotics.torch_kinematics_tree.geometrics",
+        "torch_robotics.torch_kinematics_tree.geometrics.utils",
+    ]
+    for n in names:
+        sys.modules[n] = types.ModuleType(n)
+
+    def _unavailable(*a, **k):  # pragma: no cover
+        raise RuntimeError("torch_robotics stub: SE3_distance not available")
+
+    sys.modules[names[-1]].SE3_distance = _unavailable
+
+
+_stub_torch_robotics()
+
 try:
     from stoch_gpmp.costs.factors.gp_factor import GPFactor as RefGPFactor
     from stoch_gpmp.costs.factors.mp_priors_multi import MultiMPPrior as RefPrior
