@@ -1,0 +1,138 @@
+"""Simulation body abstractions (native, no physics-engine dependency).
+
+Capability parity with reference ``stoch_gpmp/envs/objects.py``, whose classes
+are thin wrappers around a PyBullet client (``BodyCore``/``Sphere``/``Panda``,
+``objects.py:10-368``). Here the bodies are plain kinematic state containers:
+the Panda tracks joint-position targets under its velocity limits, poses come
+from the built-in differentiable FK, and IK uses the native multi-start
+solver — so the whole closed-loop harness runs without any native engine.
+``solveInverseDynamics`` (a bullet pass-through in the reference, never used
+by its examples) is not modeled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from stoch_gpmp_tpu.kinematics.ik import solve_ik_multistart
+from stoch_gpmp_tpu.kinematics.panda_model import franka_panda
+from stoch_gpmp_tpu.kinematics.se3 import homogeneous, matrix_to_quaternion, quaternion_to_matrix
+
+
+class BodyCore:
+    """Pose + velocity state of a rigid body (reference ``objects.py:10-123``)."""
+
+    def __init__(self, base_position, base_orientation=(0.0, 0.0, 0.0, 1.0)):
+        self.init_base_position = np.asarray(base_position, dtype=float)
+        self.init_base_orientation = np.asarray(base_orientation, dtype=float)
+        self.reset()
+
+    def reset(self):
+        self.base_position = self.init_base_position.copy()
+        self.base_orientation = self.init_base_orientation.copy()
+
+
+class DynamicBodyCore(BodyCore):
+    """Adds linear/angular velocity (reference ``objects.py:126-168``)."""
+
+    def __init__(
+        self,
+        base_position=(0.0, 0.0, 0.0),
+        base_orientation=(0.0, 0.0, 0.0, 1.0),
+        base_linear_velocity=(0.0, 0.0, 0.0),
+        base_angular_velocity=(0.0, 0.0, 0.0),
+    ):
+        self.init_base_linear_velocity = np.asarray(base_linear_velocity, dtype=float)
+        self.init_base_angular_velocity = np.asarray(base_angular_velocity, dtype=float)
+        super().__init__(base_position, base_orientation)
+
+    def reset(self):
+        super().reset()
+        self.base_linear_velocity = self.init_base_linear_velocity.copy()
+        self.base_angular_velocity = self.init_base_angular_velocity.copy()
+
+
+class Sphere(DynamicBodyCore):
+    """Sphere obstacle with radius ``scale`` and a static/dynamic ``role``
+    (reference ``objects.py:171-181`` + role handling in ``envs/panda.py``)."""
+
+    def __init__(self, base_position, base_linear_velocity=(0.0, 0.0, 0.0),
+                 scale=0.1, role=0):
+        self.scale = float(scale)
+        self.role = int(role)
+        super().__init__(
+            base_position=base_position, base_linear_velocity=base_linear_velocity
+        )
+
+    def integrate(self, dt: float):
+        self.base_position = self.base_position + self.base_linear_velocity * dt
+
+
+class Panda:
+    """Kinematic Panda arm: joint state, velocity-limited position tracking,
+    FK-backed EE pose, native IK (reference ``objects.py:184-368`` API
+    surface without the bullet client)."""
+
+    HOME = np.asarray([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785])
+
+    def __init__(self, dtype=jnp.float64):
+        self.chain = franka_panda(dtype=dtype)
+        self.dof = self.chain.n_dofs
+        self.jl_lower = np.asarray(self.chain.limits_lower)
+        self.jl_upper = np.asarray(self.chain.limits_upper)
+        self.velocity_limit = np.asarray(self.chain.limits_velocity)
+        self.reset()
+
+    def reset(self, q=None):
+        self.q = np.asarray(q if q is not None else self.HOME, dtype=float).copy()
+        self.dq = np.zeros(self.dof)
+        self.target_joint_positions = self.q.copy()
+
+    def setTargetPositions(self, target_joint_positions):
+        t = np.asarray(target_joint_positions, dtype=float).reshape(-1)[: self.dof]
+        self.target_joint_positions = np.clip(t, self.jl_lower, self.jl_upper)
+
+    def step(self, dt: float):
+        """First-order tracking toward the target under velocity limits
+        (kinematic stand-in for the reference's PD position control)."""
+        err = self.target_joint_positions - self.q
+        max_step = self.velocity_limit * dt
+        dq = np.clip(err, -max_step, max_step)
+        self.q = self.q + dq
+        self.dq = dq / dt if dt > 0 else np.zeros_like(dq)
+
+    def getJointStates(self):
+        return list(self.q), list(self.dq)
+
+    def link_poses(self) -> np.ndarray:
+        return np.asarray(self.chain.fk(jnp.asarray(self.q)))
+
+    def getEEPositionAndOrientation(self):
+        ee = self.link_poses()[-1]
+        pos = ee[:3, 3]
+        quat = np.asarray(matrix_to_quaternion(jnp.asarray(ee[:3, :3])))
+        return pos, quat
+
+    def solveInverseKinematics(self, pos, ori=None, seed: int = 0):
+        """IK to a position (+ optional quaternion ``[x,y,z,w]``); returns the
+        joint configuration (reference ``objects.py:349-353`` wraps bullet)."""
+        pos = jnp.asarray(pos, dtype=jnp.float64)
+        if ori is not None:
+            rot = quaternion_to_matrix(jnp.asarray(ori, dtype=jnp.float64))
+        else:
+            rot = self.chain.ee_pose(jnp.asarray(self.q))[
+                :3, :3
+            ]  # keep current orientation
+        target = homogeneous(rot, pos)
+        q = solve_ik_multistart(
+            self.chain,
+            target,
+            jax.random.PRNGKey(seed),
+            num_starts=16,
+            q_init=jnp.asarray(self.q),
+            num_iters=150,
+        )
+        return list(np.asarray(q))

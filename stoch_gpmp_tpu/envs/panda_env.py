@@ -1,0 +1,374 @@
+"""Closed-loop Panda simulation environment (native, kinematic).
+
+Capability parity with reference ``stoch_gpmp/envs/panda.py`` (``PandaEnv``,
+sphere spawn/bounce helpers) without the PyBullet engine: the arm tracks
+position targets kinematically under its velocity limits, spheres integrate
+and bounce inside their box, and the contact / goal / reward / trajectory-
+buffer semantics mirror the reference:
+
+- collision = floor contact OR self-collision OR obstacle contact
+  (reference ``panda.py:453-481``; here via the native distance fields);
+- success = EE within 0.125 m of the current goal (``panda.py:489``);
+- reward ``-gain/(dist+eps)``, ``+1e2`` on contact (``panda.py:648-656``);
+- ring buffer snapshots at t==1, every 50 steps, and on terminal events
+  (``panda.py:584-646``).
+
+The planner itself never steps this env (same as the reference examples); it
+exists for closed-loop evaluation and success-rate measurement.
+"""
+
+from __future__ import annotations
+
+import time
+from copy import copy
+from typing import Union
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from stoch_gpmp_tpu.costs.fields import LinkDistanceField, LinkSelfDistanceField
+from stoch_gpmp_tpu.envs.objects import Panda, Sphere
+
+BOX_SCALE = 0.3
+BOX_CENTER = 0.5
+SPHERE_SCALE = {"MIN": 0.08, "MAX": 0.1}
+SPHERE_VELOCITY = {"MIN": 0.0, "MAX": 0.1}
+
+_SPHERE_MIN = np.array(
+    [BOX_CENTER - 0.6 * BOX_SCALE, -abs(BOX_CENTER - 0.5 * BOX_SCALE), 0.05]
+)
+_SPHERE_MAX = np.array(
+    [BOX_CENTER + 0.6 * BOX_SCALE, abs(BOX_CENTER - 0.5 * BOX_SCALE), 0.5]
+)
+
+
+def random_init_static_sphere(
+    scale_min: float,
+    scale_max: float,
+    base_position_min: np.ndarray,
+    base_position_max: np.ndarray,
+    base_offset: float,
+    rng: np.random.Generator | None = None,
+) -> tuple:
+    """Random radius + position inside the spawn box (reference
+    ``panda.py:42-66`` semantics, explicit rng)."""
+    r = rng if rng is not None else np.random
+    alpha_scale = r.uniform()
+    scale = alpha_scale * scale_min + (1 - alpha_scale) * scale_max
+
+    idx = r.permutation([1, 0, 0])
+    base_position = r.random(3) if rng is not None else np.random.rand(3)
+    alpha = r.random(1) if rng is not None else np.random.rand(1)
+    base_position[idx == 1] = (
+        alpha * base_position_min[idx == 1] + (1 - alpha) * base_position_max[idx == 1]
+    )
+    signs = (r.integers(2, size=2) if rng is not None else np.random.randint(2, size=2))
+    base_position[:-1] *= signs * 2 - 1
+    base_position = np.sign(base_position) * np.clip(
+        np.abs(base_position), a_min=base_offset, a_max=base_position_max
+    )
+    return scale, base_position
+
+
+def update_linear_velocity_sphere(
+    base_position: Union[np.ndarray, list],
+    base_linear_velocity: Union[np.ndarray, list],
+    base_position_min: np.ndarray,
+    base_position_max: np.ndarray,
+    z_offset: float,
+) -> tuple:
+    """Bounce a sphere off its min/max box walls and the floor (reference
+    ``panda.py:69-105``)."""
+    base_position = np.asarray(base_position, dtype=float)
+    base_linear_velocity = np.asarray(base_linear_velocity, dtype=float)
+    pos = base_position.copy()
+    vel = base_linear_velocity.copy()
+
+    ratios_min = np.abs(base_position) / base_position_min
+    ratios_max = np.abs(base_position) / base_position_max
+    if np.max(ratios_min) <= 1 or np.max(ratios_max) >= 1:
+        if np.max(ratios_min) <= 1:
+            idx = int(np.argmin(1 - ratios_min))
+            pos[idx] = np.sign(pos[idx]) * base_position_min[idx]
+            vel[idx] = -vel[idx]
+        else:
+            idx = int(np.argmax(ratios_max - 1))
+            pos[idx] = np.sign(pos[idx]) * base_position_max[idx]
+            vel[idx] = -vel[idx]
+
+    if pos[-1] <= z_offset:
+        pos[-1] = z_offset
+        vel[-1] = abs(vel[-1])
+    return pos, vel
+
+
+class PandaEnv:
+    """Gym-like closed-loop environment (reference ``panda.py:249-684``)."""
+
+    def __init__(self, render: bool = False, goal_offset: float = 0.08, **kwargs):
+        del render  # no GUI backend; plotting is external
+        self._seed = kwargs.get("seed", None)
+        self.t_step = 0
+        self._t_start = time.time()
+        self._t_H = kwargs.get("horizon", 10000)
+        self._frequency = kwargs.get("frequency", 10)
+        self.realtime = kwargs.get("realtime", False)
+        self._dt_sim = kwargs.get("dt_sim", 1.0 / 240.0)
+
+        self.a_t = None
+        self.s_t = None
+        self._s_T = [None, None]
+        self._goal_offset = np.array([0.0, 0.0, goal_offset])
+        self._goal_idx = 0
+        self.goal_reached = [False, False]
+        self.is_contact = False
+        self._done = False
+
+        self.num_obst = kwargs.get("num_obst", 2)
+        self.max_obs_dist = kwargs.get("max_obs_dist", 0.0)
+        self.max_floor_dist = kwargs.get("max_floor_dist", 0.0)
+        self.motion_obstacles = kwargs.get("motion_obstacles", 0)
+
+        self._buffer_goal_counter = 1
+        self._max_buffer_len = int(kwargs.get("buffer_length", 1000))
+        self._init_buffer()
+
+        self.panda = Panda()
+        self._self_field = LinkSelfDistanceField(margin=0.03)
+        self._obst_field = LinkDistanceField()
+        self._obstacles = {"spheres": [], "boxes": []}
+        self._rng = np.random.default_rng(self._seed)
+        self._init_spheres()
+
+    # ------------------------------------------------------------------ #
+    @property
+    def buffer(self):
+        return self._buffer[: self._buffer_idx]
+
+    @property
+    def obstacles(self):
+        return self._obstacles
+
+    @property
+    def spheres(self):
+        return self._obstacles.get("spheres", [])
+
+    @property
+    def boxes(self):
+        return self._obstacles.get("boxes", [])
+
+    @property
+    def done(self):
+        return self._done
+
+    @property
+    def s_T(self):
+        if self._s_T[self._goal_idx] is not None:
+            return np.asarray(self._s_T[self._goal_idx])[None, None, :]
+        return self._s_T[self._goal_idx]
+
+    def set_goals(self, goals):
+        """Set the (up to two) EE goal positions the reference leaves to the
+        caller via ``_s_T``."""
+        goals = list(goals)
+        self._s_T = [np.asarray(g, dtype=float) if g is not None else None for g in goals]
+        while len(self._s_T) < 2:
+            self._s_T.append(None)
+
+    def seed(self, seed=None):
+        self._rng = np.random.default_rng(seed)
+        return [seed]
+
+    def not_t_horizon(self):
+        if self.realtime:
+            return abs(time.time() - self._t_start) < self._t_H
+        return self.t_step < self._t_H
+
+    # ------------------------------------------------------------------ #
+    def _spawn_sphere_params(self):
+        return random_init_static_sphere(
+            scale_min=SPHERE_SCALE["MIN"],
+            scale_max=SPHERE_SCALE["MAX"],
+            base_position_min=_SPHERE_MIN,
+            base_position_max=_SPHERE_MAX,
+            base_offset=0.0,
+            rng=self._rng,
+        )
+
+    def _init_spheres(self):
+        if self.motion_obstacles == 0:
+            roles = np.zeros(self.num_obst, dtype=int)
+        elif self.motion_obstacles == 1:
+            roles = np.ones(self.num_obst, dtype=int)
+        else:
+            roles = self._rng.integers(0, 2, size=self.num_obst)
+        spheres = []
+        for role in roles:
+            scale, pos = self._spawn_sphere_params()
+            vel = np.zeros(3)
+            if role == 1:
+                vel = self._rng.uniform(
+                    SPHERE_VELOCITY["MIN"], SPHERE_VELOCITY["MAX"], 3
+                )
+            spheres.append(
+                Sphere(base_position=pos, base_linear_velocity=vel, scale=scale, role=int(role))
+            )
+        self._obstacles["spheres"] = spheres
+
+    def reset(self, seed=None):
+        seed = self._seed if seed is None else seed
+        self.seed(seed=seed)
+        self.panda.reset()
+        for sphere in self.spheres:
+            scale, pos = self._spawn_sphere_params()
+            sphere.init_base_position = pos
+            if sphere.role == 0:
+                sphere.init_base_linear_velocity = np.zeros(3)
+            else:
+                sphere.init_base_linear_velocity = self._rng.uniform(
+                    SPHERE_VELOCITY["MIN"], SPHERE_VELOCITY["MAX"], 3
+                )
+            sphere.reset()
+
+        obs_state = self._state_obstacles()
+        self._goal_idx = 0
+        self.goal_reached = [False, False]
+        self.is_contact = False
+        self._done = False
+        self.t_step = 0
+        self._t_start = time.time()
+        self.s_t = [np.array(self.panda.getJointStates()).reshape(1, 1, -1), obs_state]
+        self._init_buffer()
+        return self.s_t
+
+    def step(self, a_t=None):
+        self.t_step += 1
+        if a_t is None:
+            a_t = np.array(self.panda.q)
+        self.panda.setTargetPositions(np.asarray(a_t).squeeze())
+
+        dt = self._dt_sim
+        for _ in range(self._frequency):
+            self.panda.step(dt)
+            for sphere in self.spheres:
+                if sphere.role == 1:
+                    sphere.integrate(dt)
+                    pos, vel = update_linear_velocity_sphere(
+                        sphere.base_position,
+                        sphere.base_linear_velocity,
+                        _SPHERE_MIN,
+                        _SPHERE_MAX,
+                        z_offset=sphere.scale,
+                    )
+                    sphere.base_position, sphere.base_linear_velocity = pos, vel
+
+        self.s_t = [
+            np.array(self.panda.getJointStates()).reshape(1, 1, -1).copy(),
+            self._state_obstacles().copy(),
+        ]
+        self.a_t = np.asarray(a_t).copy()
+        self.is_contact = self._check_contact()
+
+        # goal-reach check (reference panda.py:484-491)
+        if self.s_T is not None:
+            ee_pos, _ = self.panda.getEEPositionAndOrientation()
+            dist2goal = float(np.sqrt(np.sum((ee_pos - self.s_T.squeeze()) ** 2)))
+            self.goal_reached[self._goal_idx] = dist2goal < 0.125
+            if self.goal_reached[0] and self._goal_idx == 0:
+                self._goal_idx = 1
+
+        if self.is_contact or all(self.goal_reached):
+            self._done = True
+
+        costs = self.cost_function()
+        self._update_buffer()
+        return (
+            self.s_t,
+            costs,
+            self.done,
+            [self.s_T, self.goal_reached, self.is_contact],
+        )
+
+    def close(self):
+        pass
+
+    # ------------------------------------------------------------------ #
+    def _check_contact(self) -> bool:
+        link_poses = self.panda.link_poses()  # [L, 4, 4]
+        # floor contact: any link origin at/below the floor threshold
+        # (skip link1/link2 whose origins sit at the fixed base column)
+        if np.any(link_poses[2:, 2, 3] <= self.max_floor_dist):
+            return True
+        lp = jnp.asarray(link_poses)[None]
+        if bool(self._self_field.compute_collision(lp, buffer=0.05)[0]):
+            return True
+        if self.spheres:
+            spheres = np.stack(
+                [np.concatenate([s.base_position, [s.scale]]) for s in self.spheres]
+            )
+            hit = self._obst_field.compute_collision(
+                lp, obstacle_spheres=jnp.asarray(spheres)[None],
+                buffer=self.max_obs_dist + 0.02,
+            )
+            if bool(hit[0]):
+                return True
+        return False
+
+    def cost_function(self) -> np.ndarray:
+        gain = 1e2
+        eps = 1e-6
+        if self.s_T is None:
+            return np.asarray(0.0)
+        ee_position = self.panda.getEEPositionAndOrientation()[0]
+        dist2goal = np.sqrt(np.sum((ee_position - self.s_T.squeeze()) ** 2))
+        costs = -gain / (dist2goal + eps)
+        return np.where(self.is_contact, np.ones_like(costs) * 1e2, costs)
+
+    def _state_obstacles(self) -> np.ndarray:
+        if not self.spheres:
+            return np.zeros((1, 0, 7))
+        return np.concatenate(
+            (
+                np.array([s.base_position for s in self.spheres]),
+                np.array([s.base_linear_velocity for s in self.spheres]),
+                np.array([s.scale for s in self.spheres])[:, None],
+            ),
+            axis=-1,
+        )[None, :]
+
+    # --- trajectory ring buffer (reference panda.py:584-646) ----------- #
+    def _init_buffer(self):
+        self._buffer_idx = 0
+        self._buffer = [dict() for _ in range(self._max_buffer_len)]
+
+    def _snapshot(self, t):
+        return {
+            "s_robot": self.s_t[0].copy(),
+            "a_robot": self.a_t.copy() if self.a_t is not None else None,
+            "s_obs": self.s_t[1].copy(),
+            "s_goal": self.s_T.copy() if self.s_T is not None else None,
+            "is_contact": copy(self.is_contact),
+            "goal_reached": copy(self.goal_reached),
+            "time_horizon": copy(not self.not_t_horizon()),
+            "time": t,
+        }
+
+    def _update_buffer(self):
+        if self.t_step == 1:
+            self._buffer[self._buffer_idx].update(self._snapshot(self.t_step - 1))
+            self._buffer_idx += 1
+        if self.t_step % 50 == 0:
+            self._buffer[self._buffer_idx].update(self._snapshot(self.t_step))
+            self._buffer_idx += 1
+        if (
+            self.is_contact
+            or (sum(self.goal_reached) == self._buffer_goal_counter)
+            or not self.not_t_horizon()
+        ):
+            self._buffer[self._buffer_idx].update(self._snapshot(self.t_step))
+            self._buffer_idx += 1
+            if sum(self.goal_reached) == self._buffer_goal_counter:
+                self._buffer_goal_counter += 1
+        if self._buffer_idx >= self._max_buffer_len:
+            self._buffer_idx = 0

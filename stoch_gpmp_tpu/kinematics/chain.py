@@ -20,6 +20,21 @@ from stoch_gpmp_tpu.kinematics.se3 import axis_angle_to_matrix, homogeneous, rpy
 from stoch_gpmp_tpu.kinematics.urdf import RobotModel
 
 
+def _origin_np(rpy, xyz) -> np.ndarray:
+    """URDF joint origin as a float64 homogeneous transform (numpy)."""
+    r, p, y = rpy
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+    ry = np.array([[cp, 0, sp], [0, 1.0, 0], [-sp, 0, cp]])
+    rx = np.array([[1.0, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    t = np.eye(4)
+    t[:3, :3] = rz @ ry @ rx
+    t[:3, 3] = xyz
+    return t
+
+
 def _topo_sort(model: RobotModel):
     """Joints ordered so every parent link is resolved before its children."""
     by_parent: dict[str, list] = {}
@@ -53,17 +68,10 @@ class KinematicChain:
         self._joints = _topo_sort(model)
         self.n_dofs = model.n_dofs
 
-        # Static per-joint data.
+        # Static per-joint data (host-side numpy in float64 regardless of the
+        # jax x64 setting; cast to the working dtype at trace time).
         self._origins = np.stack(
-            [
-                np.asarray(
-                    homogeneous(
-                        rpy_to_matrix(jnp.asarray(j.origin_rpy, dtype=jnp.float64)),
-                        jnp.asarray(j.origin_xyz, dtype=jnp.float64),
-                    )
-                )
-                for j in self._joints
-            ]
+            [_origin_np(j.origin_rpy, j.origin_xyz) for j in self._joints]
         )
         self._types = [j.joint_type for j in self._joints]
         self._axes = np.stack([np.asarray(j.axis, dtype=np.float64) for j in self._joints])

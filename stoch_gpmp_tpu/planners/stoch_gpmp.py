@@ -383,6 +383,20 @@ class StochGPMP:
         n = self.n_dof
         return aux.samples[..., :n], aux.samples[..., n:]
 
+    def get_traj(self, mode: str = "best"):
+        """Best-weighted sample trajectory or the mean (reference ``_get_traj``,
+        ``planner.py:319-328``, generalized to multi-particle: 'best' picks the
+        globally highest-weight sample)."""
+        if mode == "best":
+            aux = self._recent_aux
+            flat = aux.weights.reshape(-1)
+            idx = int(jnp.argmax(flat))
+            p, s = divmod(idx, self.num_samples)
+            return aux.samples[p, s]
+        if mode == "mean":
+            return self.state.particle_means
+        raise ValueError(f"unknown mode: {mode}")
+
     def sample_trajectories(self, num_samples_per_particle: int):
         """Fresh draws around the current means (reference
         ``planner.py:339-348``): returns (positions, velocities)."""

@@ -1,0 +1,103 @@
+"""Closed-loop kinematic PandaEnv."""
+
+import numpy as np
+
+from stoch_gpmp_tpu.envs.panda_env import (
+    PandaEnv,
+    random_init_static_sphere,
+    update_linear_velocity_sphere,
+)
+
+
+def test_reset_returns_state():
+    env = PandaEnv(num_obst=3, seed=0)
+    s = env.reset()
+    joint_state, obs_state = s
+    assert joint_state.shape == (1, 1, 14)  # 7 pos + 7 vel
+    assert obs_state.shape == (1, 3, 7)  # pos(3) + vel(3) + radius(1)
+    radii = obs_state[0, :, 6]
+    assert np.all((radii >= 0.08) & (radii <= 0.1))
+
+
+def test_reset_is_seeded():
+    env1 = PandaEnv(num_obst=3, seed=42)
+    env2 = PandaEnv(num_obst=3, seed=42)
+    s1 = env1.reset(seed=42)
+    s2 = env2.reset(seed=42)
+    np.testing.assert_array_equal(s1[1], s2[1])
+
+
+def test_step_tracks_targets_and_reaches_goal():
+    env = PandaEnv(num_obst=0, seed=0, frequency=24, horizon=5000)
+    env.reset()
+    # target = EE position of a nearby configuration; command it and check
+    # goal-reach triggers
+    q_target = env.panda.q + np.array([0.2, -0.1, 0.1, 0.1, 0.0, -0.1, 0.0])
+    env.panda.setTargetPositions(q_target)
+    import jax.numpy as jnp
+
+    ee_target = np.asarray(env.panda.chain.ee_pose(jnp.asarray(q_target)))[:3, 3]
+    env.set_goals([ee_target, ee_target + np.array([0.0, 0.0, 10.0])])
+    for _ in range(200):
+        s, cost, done, info = env.step(q_target)
+        if done:
+            break
+    assert env.goal_reached[0], (env.panda.q, q_target)
+    assert float(cost) < 0  # reward is -gain/dist when no contact
+    # arm actually tracked the commanded positions
+    np.testing.assert_allclose(env.panda.q, q_target, atol=1e-6)
+
+
+def test_contact_detection_with_sphere_on_arm():
+    env = PandaEnv(num_obst=1, seed=0)
+    env.reset()
+    # place the obstacle right on the end-effector
+    ee, _ = env.panda.getEEPositionAndOrientation()
+    env.spheres[0].base_position = ee.copy()
+    env.spheres[0].scale = 0.1
+    env.set_goals([ee + np.array([1.0, 0, 0]), None])
+    _, cost, done, info = env.step()
+    assert env.is_contact and done
+    assert float(cost) == 1e2  # contact penalty
+
+
+def test_buffer_snapshots():
+    env = PandaEnv(num_obst=0, seed=0, horizon=200)
+    env.reset()
+    env.set_goals([np.array([10.0, 10, 10]), None])  # unreachable
+    for _ in range(100):
+        env.step()
+    # snapshots at t==1, t==50, t==100
+    assert len(env.buffer) == 3
+    assert env.buffer[0]["time"] == 0
+    assert env.buffer[1]["time"] == 50
+
+
+def test_sphere_bounce():
+    pos, vel = update_linear_velocity_sphere(
+        np.array([0.9, 0.0, 0.3]),
+        np.array([0.1, 0.0, 0.0]),
+        np.array([0.3, -0.35, 0.05]),
+        np.array([0.68, 0.35, 0.5]),
+        z_offset=0.1,
+    )
+    assert vel[0] == -0.1  # bounced off the +x wall
+    # floor clamp
+    pos2, vel2 = update_linear_velocity_sphere(
+        np.array([0.5, 0.2, 0.05]),
+        np.array([0.0, 0.0, -0.2]),
+        np.array([0.3, -0.35, 0.01]),
+        np.array([0.68, 0.35, 0.5]),
+        z_offset=0.1,
+    )
+    assert pos2[-1] == 0.1 and vel2[-1] == 0.2
+
+
+def test_random_sphere_in_bounds():
+    rng = np.random.default_rng(0)
+    lo = np.array([0.3, -0.35, 0.05])
+    hi = np.array([0.68, 0.35, 0.5])
+    for _ in range(20):
+        scale, pos = random_init_static_sphere(0.08, 0.1, lo, hi, 0.0, rng=rng)
+        assert 0.08 <= scale <= 0.1
+        assert np.all(np.abs(pos) <= hi + 1e-12)
