@@ -27,7 +27,7 @@ def main():
     num_samples = 128
 
     kwargs = dict(
-        opt_iters=5000, num_samples=num_samples, temperature=1.0, step_size=0.5
+        opt_iters=1000, num_samples=num_samples, temperature=1.0, step_size=0.5
     )
     run = jax.jit(
         lambda sa, c, st, ob: stoch_gpmp_optimize(sa, c, st, ob, **kwargs)
@@ -39,14 +39,15 @@ def main():
     st, aux = run(sampler, cost, state, {})
     _ = np.asarray(st.particle_means)
 
-    # timed: chunks of 5000 scanned iterations, full readback each chunk
-    n_chunks = 2
+    # timed: chained async chunks of 1000 scanned iterations; one full host
+    # readback at the end forces completion of the whole chain
+    n_chunks = 5
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         st, aux = run(sampler, cost, st, {})
-        _ = np.asarray(st.particle_means)
+    final = np.asarray(st.particle_means)
     elapsed = time.perf_counter() - t0
-    assert np.all(np.isfinite(np.asarray(st.particle_means)))
+    assert np.all(np.isfinite(final))
 
     iters = n_chunks * kwargs["opt_iters"]
     updates_per_sec = num_particles * iters / elapsed
