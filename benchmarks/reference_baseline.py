@@ -1,0 +1,120 @@
+"""Measure the PyTorch reference's wall-clock per iteration (CPU float64).
+
+Requires the reference checkout at /root/reference and torch. The Panda
+configs need the external ``torch_robotics`` (unavailable), so reference
+numbers cover the planar and GP-prior-only configs; recorded in BASELINE.md.
+
+Usage: ``python benchmarks/reference_baseline.py [--iters 20] [--ppg 64]``
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/reference")
+
+import numpy as np
+import torch
+
+from stoch_gpmp.costs.cost_functions import (  # noqa: E402
+    CostCollision,
+    CostComposite,
+    CostGP,
+    CostGoalPrior,
+)
+from stoch_gpmp.envs.map_generator import generate_obstacle_map  # noqa: E402
+from stoch_gpmp.planner import StochGPMP  # noqa: E402
+
+TA = {"device": torch.device("cpu"), "dtype": torch.float64}
+
+
+def planar(ppg: int, num_samples: int, iters: int):
+    import random
+
+    random.seed(0)
+    n_dof, traj_len, dt = 2, 64, 0.02
+    start_state = torch.tensor([-9.0, -9.0, 0.0, 0.0], **TA)
+    goals = torch.tensor(
+        [[9, 6, 0.0, 0.0], [9, -3, 0.0, 0.0], [-3, 9, 0.0, 0.0]], **TA
+    )
+    obst_map = generate_obstacle_map(
+        map_dim=[20, 20], obst_list=[], cell_size=0.1, random_gen=True,
+        num_obst=15, rand_limits=[[-7.5, 7.5], [-7.5, 7.5]],
+        rand_rect_shape=[2, 2], tensor_args=TA,
+    )[0]
+    cost = CostComposite(
+        n_dof, traj_len,
+        [
+            CostGP(n_dof, traj_len, start_state, dt,
+                   {"sigma_start": 0.001, "sigma_gp": 0.1}, TA),
+            CostGoalPrior(n_dof, traj_len, multi_goal_states=goals,
+                          num_particles_per_goal=ppg, num_samples=num_samples,
+                          sigma_goal_prior=0.001, tensor_args=TA),
+            CostCollision(n_dof, traj_len, field=obst_map, sigma_coll=1e-5,
+                          tensor_args=TA),
+        ],
+        tensor_args=TA,
+    )
+    planner = StochGPMP(
+        num_particles_per_goal=ppg, num_samples=num_samples, traj_len=traj_len,
+        dt=dt, n_dof=n_dof, opt_iters=1, temperature=1.0,
+        start_state=start_state, multi_goal_states=goals, cost=cost,
+        step_size=0.5, sigma_start_init=1e-3, sigma_goal_init=1e-3,
+        sigma_gp_init=20.0, sigma_start_sample=1e-3, sigma_goal_sample=1e-3,
+        sigma_gp_sample=3.0, seed=0, tensor_args=TA,
+    )
+    planner.optimize()  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        planner.optimize()
+    elapsed = time.perf_counter() - t0
+    p = planner.num_particles
+    return {
+        "config": f"planar-{ppg}ppg (reference torch CPU f64)",
+        "metric": "particle-trajectory updates/sec",
+        "value": round(p * iters / elapsed, 2),
+        "iters_per_sec": round(iters / elapsed, 3),
+        "particles": p,
+    }
+
+
+def prior_draws(iters: int):
+    from stoch_gpmp.costs.factors.gp_factor import GPFactor
+    from stoch_gpmp.costs.factors.mp_priors_multi import MultiMPPrior
+
+    n_dof, traj_len, dt = 2, 64, 0.02
+    d = 2 * n_dof
+    start = torch.zeros(d, **TA)
+    goals = torch.tensor([[9, 6, 0.0, 0.0], [9, -3, 0.0, 0.0], [-3, 9, 0.0, 0.0]], **TA)
+    gp = GPFactor(n_dof, 3.0, dt, traj_len - 1, tensor_args=TA)
+    k_s = torch.eye(d, **TA) / 1e-3**2
+    k_g = torch.eye(d, **TA) / 1e-3**2
+    prior = MultiMPPrior(traj_len - 1, dt, d, n_dof, k_s, gp.Q_inv[0], start,
+                         K_g_inv=k_g, goal_states=goals, tensor_args=TA)
+    n = 2048
+    prior.sample(n)  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        prior.sample(n)
+    elapsed = time.perf_counter() - t0
+    return {
+        "config": "gp-prior-draws (reference torch CPU f64)",
+        "metric": "trajectory draws/sec",
+        "value": round(3 * n * iters / elapsed, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--ppg", type=int, default=64)
+    args = ap.parse_args()
+    torch.manual_seed(0)
+    np.random.seed(0)
+    print(json.dumps(prior_draws(args.iters)), flush=True)
+    print(json.dumps(planar(args.ppg, 128, args.iters)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""BASELINE.json benchmark configs (see BASELINE.md).
+
+Runs one (or all) of the five configs and prints one JSON line per config:
+``{"config", "metric", "value", "unit", ...}``. Values are particle-trajectory
+updates/sec (particles x optimizer iterations / wall time, chained-async
+chunks, one forced host readback at the end).
+
+Usage: ``python benchmarks/run.py [--config N] [--iters 1000]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _timed_updates_per_sec(sampler, cost, state, observation, *, num_samples,
+                           opt_iters=1000, n_chunks=3, step_size=0.5):
+    from stoch_gpmp_tpu.planners import stoch_gpmp_optimize
+
+    run = jax.jit(
+        lambda sa, c, st, ob: stoch_gpmp_optimize(
+            sa, c, st, ob,
+            opt_iters=opt_iters, num_samples=num_samples,
+            temperature=1.0, step_size=step_size,
+        )
+    )
+    st, _ = run(sampler, cost, state, observation)
+    _ = np.asarray(st.particle_means)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        st, _ = run(sampler, cost, st, observation)
+    final = np.asarray(st.particle_means)
+    elapsed = time.perf_counter() - t0
+    assert np.all(np.isfinite(final)), "non-finite means"
+    p = state.particle_means.shape[0]
+    iters = n_chunks * opt_iters
+    return p * iters / elapsed, iters / elapsed
+
+
+def _planar_problem(ppg, num_goals=3, traj_len=64, fast=True):
+    from __graft_entry__ import _build_problem
+
+    return _build_problem(
+        n_dof=2, traj_len=traj_len, num_goals=num_goals, ppg=ppg,
+        with_obstacles=True, fast=fast,
+    )
+
+
+def config_1():
+    """planar parity: 2D point-mass, 3 goals, 64 particles/goal, S=128."""
+    sampler, cost, state = _planar_problem(ppg=64)
+    ups, ips = _timed_updates_per_sec(
+        sampler, cost, state, {}, num_samples=128, opt_iters=500
+    )
+    return {"config": "planar-parity-64ppg", "particles": 192, "value": ups, "iters_per_sec": ips}
+
+
+def config_2():
+    """GP-prior-only: prior construction + batched trajectory draws."""
+    from stoch_gpmp_tpu.gp.prior import make_gp_prior
+
+    dtype = jnp.float32
+    start = jnp.zeros(4, dtype=dtype)
+    goals = jnp.asarray([[9, 6, 0, 0], [9, -3, 0, 0], [-3, 9, 0, 0]], dtype=dtype)
+    prior = make_gp_prior(2, 64, 0.02, start, 1e-3, 3.0, sigma_goal=1e-3,
+                          goal_states=goals, dtype=dtype)
+    n = 2048
+
+    def draw(key):
+        def body(k, _):
+            k, sub = jax.random.split(k)
+            return k, prior.sample(sub, n).sum() * 1e-9
+        k, out = jax.lax.scan(body, key, None, length=500)
+        return out.sum()
+
+    jf = jax.jit(draw)
+    key = jax.random.key(0, impl="unsafe_rbg")
+    _ = float(jf(key))
+    t0 = time.perf_counter()
+    total = float(jf(key))
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(total)
+    draws_per_sec = 3 * n * 500 / elapsed  # modes x samples x iters
+    return {"config": "gp-prior-draws", "value": draws_per_sec,
+            "unit_override": "trajectory draws/sec"}
+
+
+def config_3():
+    """planar dense obstacles, 512 particles/goal."""
+    sampler, cost, state = _planar_problem(ppg=512)
+    ups, ips = _timed_updates_per_sec(
+        sampler, cost, state, {}, num_samples=32, opt_iters=200
+    )
+    return {"config": "planar-512ppg", "particles": 1536, "value": ups, "iters_per_sec": ips}
+
+
+def _panda_problem(num_goals=1, ppg=5, traj_len=64, num_samples=32):
+    from stoch_gpmp_tpu.costs import (
+        CostCollision, CostComposite, CostGP, CostGoal, CostGoalPrior,
+        EESE3DistanceField, LinkDistanceField, LinkSelfDistanceField,
+    )
+    from stoch_gpmp_tpu.gp.prior import make_gp_prior
+    from stoch_gpmp_tpu.kinematics import homogeneous, y_rot, z_rot
+    from stoch_gpmp_tpu.kinematics.panda_model import franka_panda
+    from stoch_gpmp_tpu.planners import SamplerModel, StochGPMPState
+
+    dtype = jnp.float32
+    dt = 0.05
+    chain = franka_panda(dtype=dtype)
+    n_dof = chain.n_dofs
+    target_rot = z_rot(jnp.asarray(-np.pi, dtype=dtype)) @ y_rot(jnp.asarray(-np.pi, dtype=dtype))
+    target_h = homogeneous(target_rot, jnp.asarray([0.3, 0.3, 0.3], dtype=dtype))
+    start_q = jnp.asarray([0.012, -0.57, 0.0, -2.81, 0.0, 3.037, 0.741], dtype=dtype)
+    start_state = jnp.concatenate([start_q, jnp.zeros_like(start_q)])
+    rng = np.random.default_rng(0)
+    goals_q = start_q[None] + jnp.asarray(
+        rng.uniform(-0.3, 0.3, (num_goals, n_dof)), dtype=dtype
+    )
+    goals = jnp.concatenate([goals_q, jnp.zeros_like(goals_q)], axis=-1)
+
+    cost = CostComposite.create(
+        n_dof, traj_len,
+        [
+            CostGP.create(n_dof, traj_len, start_state, dt,
+                          {"sigma_start": 0.0001, "sigma_gp": 0.0007}, dtype=dtype),
+            CostGoalPrior.create(n_dof, traj_len, goals, sigma_goal_prior=20.0, dtype=dtype),
+            CostCollision.create(n_dof, traj_len, LinkSelfDistanceField(margin=0.03), sigma_coll=0.01),
+            CostCollision.create(n_dof, traj_len, LinkDistanceField(), sigma_coll=0.01),
+            CostGoal.create(n_dof, traj_len, EESE3DistanceField(target_h=target_h), sigma_goal=0.00007),
+        ],
+        fk=chain.fk,
+    )
+    prior = make_gp_prior(n_dof, traj_len, dt, start_state, 0.001, 0.1,
+                          sigma_goal=0.07, goal_states=goals, dtype=dtype)
+    sampler = SamplerModel.from_prior(prior)
+    means = jnp.repeat(prior.means, ppg, axis=0)
+    state = StochGPMPState(
+        particle_means=means, key=jax.random.key(0, impl="unsafe_rbg")
+    )
+    spheres = np.zeros((1, 5, 4))
+    spheres[0, :, :3] = rng.uniform([0.6, -0.2, 0.6], [1.0, 0.2, 1.0], (5, 3))
+    spheres[0, :, 3] = rng.uniform(0.1, 0.2, 5)
+    obs = {"obstacle_spheres": jnp.asarray(spheres, dtype=dtype)}
+    return sampler, cost, state, obs, num_samples
+
+
+def config_4():
+    """panda parity: 1 goal x 5 particles, T=64, S=32, 5 sphere obstacles."""
+    sampler, cost, state, obs, s = _panda_problem(num_goals=1, ppg=5)
+    ups, ips = _timed_updates_per_sec(
+        sampler, cost, state, obs, num_samples=s, opt_iters=500, step_size=0.1
+    )
+    return {"config": "panda-parity", "particles": 5, "value": ups, "iters_per_sec": ips}
+
+
+def config_5():
+    """multi-goal panda scaling: 10 goals x 128 particles, T=128."""
+    sampler, cost, state, obs, s = _panda_problem(
+        num_goals=10, ppg=128, traj_len=128, num_samples=8
+    )
+    ups, ips = _timed_updates_per_sec(
+        sampler, cost, state, obs, num_samples=s, opt_iters=20, n_chunks=2,
+        step_size=0.1,
+    )
+    return {"config": "panda-scaling-10x128", "particles": 1280, "value": ups, "iters_per_sec": ips}
+
+
+CONFIGS = {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=None, help="1..5; default all")
+    args = ap.parse_args()
+    ids = [args.config] if args.config else sorted(CONFIGS)
+    for i in ids:
+        r = CONFIGS[i]()
+        out = {
+            "config": r["config"],
+            "metric": "particle-trajectory updates/sec"
+            if "unit_override" not in r
+            else r["unit_override"],
+            "value": round(float(r["value"]), 1),
+        }
+        if "iters_per_sec" in r:
+            out["iters_per_sec"] = round(float(r["iters_per_sec"]), 2)
+            out["particles"] = r["particles"]
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,6 @@
+from stoch_gpmp_tpu.planners.gpmp import GPMP, GPMPState, gpmp_optimize, gpmp_step
 from stoch_gpmp_tpu.planners.stoch_gpmp import (
+    IterMetrics,
     SamplerModel,
     StochGPMP,
     StochGPMPAux,
@@ -8,6 +10,11 @@ from stoch_gpmp_tpu.planners.stoch_gpmp import (
 )
 
 __all__ = [
+    "GPMP",
+    "GPMPState",
+    "gpmp_optimize",
+    "gpmp_step",
+    "IterMetrics",
     "SamplerModel",
     "StochGPMP",
     "StochGPMPAux",

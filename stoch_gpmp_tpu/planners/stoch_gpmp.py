@@ -82,6 +82,31 @@ class StochGPMPAux:
     grad: jnp.ndarray  # [P, T, d]
 
 
+@struct.dataclass
+class IterMetrics:
+    """Structured per-iteration observability emitted from inside the scanned
+    loop (the reference only prints wall-clock + mean cost every 50 iters,
+    ``planner.py:668-672``; SURVEY.md §5 asks for structured metrics)."""
+
+    cost_mean: jnp.ndarray  # [iters]
+    cost_min: jnp.ndarray  # [iters]
+    weight_entropy: jnp.ndarray  # [iters] mean over particles
+    update_norm: jnp.ndarray  # [iters] mean ||step|| over particles
+
+    @classmethod
+    def from_aux(cls, aux: StochGPMPAux, step_size: float) -> "IterMetrics":
+        w = aux.weights
+        entropy = -jnp.sum(w * jnp.log(w + 1e-30), axis=1).mean()
+        return cls(
+            cost_mean=aux.costs.mean(),
+            cost_min=aux.costs.min(),
+            weight_entropy=entropy,
+            update_norm=(step_size * jnp.linalg.norm(
+                aux.grad.reshape(aux.grad.shape[0], -1), axis=-1
+            )).mean(),
+        )
+
+
 def stoch_gpmp_step(
     sampler: SamplerModel,
     cost: Any,
@@ -159,10 +184,12 @@ def stoch_gpmp_optimize(
     step_size: float,
     sample_method: str = "dense",
     shard_samples=None,
-) -> tuple[StochGPMPState, StochGPMPAux]:
+    collect_metrics: bool = False,
+) -> tuple[StochGPMPState, StochGPMPAux] | tuple[StochGPMPState, StochGPMPAux, IterMetrics]:
     """Run ``opt_iters`` updates under ``lax.scan``; returns the final state
     and the LAST iteration's aux (matching the reference's return of the
-    final iteration's samples/costs, ``planner.py:289-317``)."""
+    final iteration's samples/costs, ``planner.py:289-317``). With
+    ``collect_metrics`` also returns stacked per-iteration ``IterMetrics``."""
 
     def body(carry, _):
         new_state, aux = stoch_gpmp_step(
@@ -176,11 +203,11 @@ def stoch_gpmp_optimize(
             sample_method=sample_method,
             shard_samples=shard_samples,
         )
-        return new_state, None
+        ys = IterMetrics.from_aux(aux, step_size) if collect_metrics else None
+        return new_state, ys
 
-    if opt_iters > 1:
-        state, _ = jax.lax.scan(body, state, None, length=opt_iters - 1)
-    return stoch_gpmp_step(
+    state, metrics = jax.lax.scan(body, state, None, length=opt_iters - 1)
+    final_state, aux = stoch_gpmp_step(
         sampler,
         cost,
         state,
@@ -191,6 +218,13 @@ def stoch_gpmp_optimize(
         sample_method=sample_method,
         shard_samples=shard_samples,
     )
+    if not collect_metrics:
+        return final_state, aux
+    last = IterMetrics.from_aux(aux, step_size)
+    metrics = jax.tree_util.tree_map(
+        lambda hist, l: jnp.concatenate([hist, l[None]]), metrics, last
+    )
+    return final_state, aux, metrics
 
 
 class StochGPMP:
@@ -331,8 +365,9 @@ class StochGPMP:
         self._jit_optimize = functools.partial(
             jax.jit,
             static_argnames=("opt_iters", "num_samples", "temperature", "step_size",
-                             "sample_method"),
+                             "sample_method", "collect_metrics"),
         )(stoch_gpmp_optimize)
+        self.last_metrics: IterMetrics | None = None
 
     @property
     def particle_means(self) -> jnp.ndarray:
@@ -345,15 +380,18 @@ class StochGPMP:
         ``.to_dense()`` for the dense form)."""
         return self.sampler.precision
 
-    def optimize(self, opt_iters=None, debug=False, observation=None, **obs_kwargs):
+    def optimize(self, opt_iters=None, debug=False, observation=None,
+                 collect_metrics=False, **obs_kwargs):
         """Run the jitted scan; returns the reference's 6-tuple
         ``(state_particles, control_particles, state_trajectories,
-        control_samples, costs, grad)`` (``planner.py:310-317``)."""
+        control_samples, costs, grad)`` (``planner.py:310-317``). With
+        ``collect_metrics`` the per-iteration ``IterMetrics`` land in
+        ``self.last_metrics``."""
         observation = dict(observation or {})
         observation.update(obs_kwargs)
         iters = self.opt_iters if opt_iters is None else opt_iters
 
-        self.state, aux = self._jit_optimize(
+        out = self._jit_optimize(
             self.sampler,
             self.cost,
             self.state,
@@ -363,7 +401,12 @@ class StochGPMP:
             temperature=self.temperature,
             step_size=self.step_size,
             sample_method=self.sample_method,
+            collect_metrics=collect_metrics,
         )
+        if collect_metrics:
+            self.state, aux, self.last_metrics = out
+        else:
+            self.state, aux = out
         self._recent_aux = aux
         n = self.n_dof
         means = self.state.particle_means

@@ -133,3 +133,17 @@ def test_sample_trajectories_shapes():
     pos, vel = planner.sample_trajectories(6)
     assert pos.shape == (12, 6, 32, 2)
     assert vel.shape == (12, 6, 32, 2)
+
+
+def test_collect_metrics():
+    planner, *_ = _build_planar()
+    planner.optimize(opt_iters=7, collect_metrics=True)
+    m = planner.last_metrics
+    assert m.cost_mean.shape == (7,)
+    assert m.cost_min.shape == (7,)
+    assert m.weight_entropy.shape == (7,)
+    assert m.update_norm.shape == (7,)
+    assert np.all(np.isfinite(np.asarray(m.cost_mean)))
+    assert np.all(np.asarray(m.cost_min) <= np.asarray(m.cost_mean))
+    # entropy bounded by log(num_samples)
+    assert np.all(np.asarray(m.weight_entropy) <= np.log(32) + 1e-5)
