@@ -115,7 +115,7 @@ class GPPrior:
     means: jnp.ndarray
     precision: BlockTridiag
     chol: BlockBidiagChol
-    weight_t: jnp.ndarray
+    weight_t: jnp.ndarray | None  # dense L^{-1}, or None in long-horizon mode
 
     @property
     def num_modes(self) -> int:
@@ -134,18 +134,23 @@ class GPPrior:
         (``mp_priors_multi.py:120-123``) — O(1), no dense dist rebuild."""
         return self.replace(means=means.reshape(self.means.shape))
 
-    def sample(self, key: jax.Array, num_samples: int, method: str = "dense") -> jnp.ndarray:
+    def sample(self, key: jax.Array, num_samples: int, method: str = "auto") -> jnp.ndarray:
         """Draw ``[num_modes, num_samples, T, d]`` samples.
 
         ``method='dense'``: one batched matmul against the materialized
-        ``L^{-T}`` (MXU path, default). ``method='scan'``: structured backward
-        substitution (O(T d^2) per sample; reference path for parity tests).
+        ``L^{-T}`` (MXU path; requires ``materialize_dense``).
+        ``method='scan'``: structured backward substitution (O(T d^2) per
+        sample; the long-horizon path). ``'auto'`` picks dense when available.
         """
         t, d = self.traj_len, self.state_dim
         eps = jax.random.normal(
             key, (self.num_modes, num_samples, t, d), dtype=self.means.dtype
         )
+        if method == "auto":
+            method = "dense" if self.weight_t is not None else "scan"
         if method == "dense":
+            if self.weight_t is None:
+                raise ValueError("dense sampling requires materialize_dense=True")
             flat = eps.reshape(self.num_modes, num_samples, t * d)
             corr = (flat @ self.weight_t).reshape(self.num_modes, num_samples, t, d)
         elif method == "scan":
@@ -182,6 +187,7 @@ def make_gp_prior(
     goal_states: jnp.ndarray | None = None,
     means: jnp.ndarray | None = None,
     dtype=jnp.float32,
+    materialize_dense: bool | None = None,
 ) -> GPPrior:
     """Build a ready-to-sample GP prior from sigma hyper-parameters.
 
@@ -189,8 +195,18 @@ def make_gp_prior(
     (``stoch_gpmp/planner.py:157-179``): unary start/goal weights ``I/sigma^2``
     and the closed-form CV-GP ``Q^{-1}``, assembled into the (structured)
     precision, plus straight-line constant-velocity means when none given.
+
+    ``materialize_dense``: whether to materialize ``L^{-T}`` as a dense
+    ``[M, M]`` matrix for one-matmul MXU sampling. Defaults to auto: dense for
+    ``M <= 2048`` (planner-scale horizons), structured-only beyond — the
+    long-horizon regime where O(M^2) memory would dominate and the O(T d^2)
+    scan sampler wins (the reference's dense MVN is O(T^3) there,
+    ``mp_priors_multi.py:106-110``).
     """
     d = 2 * dof
+    m = d * traj_len
+    if materialize_dense is None:
+        materialize_dense = m <= 2048
     k_s_inv = unary_weight(d, sigma_start, dtype=dtype)
     q_inv = q_inv_block(dof, dt, sigma=sigma_gp, dtype=dtype)
     k_g_inv = None
@@ -203,7 +219,10 @@ def make_gp_prior(
         dof, traj_len, dt, k_s_inv, q_inv, k_g_inv=k_g_inv, dtype=dtype
     )
     chol = precision.cholesky()
-    weight_t = chol.dense_inv_transpose().T  # [M, M] = L^{-1}
+    if materialize_dense:
+        weight_t = chol.dense_inv_transpose().T  # [M, M] = L^{-1}
+    else:
+        weight_t = None
 
     if means is None:
         means = const_vel_means(

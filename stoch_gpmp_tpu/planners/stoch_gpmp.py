@@ -49,16 +49,17 @@ class SamplerModel:
 
     precision: BlockTridiag
     chol: BlockBidiagChol
-    weight_t: jnp.ndarray  # [M, M] = L^{-1}; samples = eps @ weight_t
-    precision_dense: jnp.ndarray  # [M, M]
+    weight_t: jnp.ndarray | None  # [M, M] = L^{-1}; samples = eps @ weight_t
+    precision_dense: jnp.ndarray | None  # [M, M]
 
     @classmethod
     def from_prior(cls, prior: GPPrior) -> "SamplerModel":
+        dense = prior.weight_t is not None
         return cls(
             precision=prior.precision,
             chol=prior.chol,
             weight_t=prior.weight_t,
-            precision_dense=prior.precision.to_dense(),
+            precision_dense=prior.precision.to_dense() if dense else None,
         )
 
 
@@ -136,9 +137,9 @@ def stoch_gpmp_step(
         eps = shard_samples(eps.reshape(p, num_samples, t, d)).reshape(
             p, num_samples, m
         )
-    if sample_method == "dense":
+    if sample_method == "dense" and sampler.weight_t is not None:
         corr = eps @ sampler.weight_t
-    else:
+    else:  # long-horizon / explicit scan path: O(T d^2) structured solve
         corr = sampler.chol.solve_LT(eps.reshape(p, num_samples, t, d)).reshape(
             p, num_samples, m
         )
@@ -155,8 +156,12 @@ def stoch_gpmp_step(
 
     # --- importance-sampling correction: + tau * V Sigma^{-1} U
     # (reference planner.py:234-236); Sigma^{-1} applied as one dense MXU
-    # matmul (precision is symmetric) ---
-    prec_u = means_flat @ sampler.precision_dense  # [P, M]
+    # matmul when materialized (precision is symmetric), else the O(T d^2)
+    # block-tridiagonal matvec ---
+    if sampler.precision_dense is not None:
+        prec_u = means_flat @ sampler.precision_dense  # [P, M]
+    else:
+        prec_u = sampler.precision.matvec(means).reshape(p, m)
     costs = costs + temperature * jnp.einsum("psm,pm->ps", flat, prec_u)
 
     # --- softmax re-weighting and mean update (planner.py:263-275) ---

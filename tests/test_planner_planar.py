@@ -147,3 +147,44 @@ def test_collect_metrics():
     assert np.all(np.asarray(m.cost_min) <= np.asarray(m.cost_mean))
     # entropy bounded by log(num_samples)
     assert np.all(np.asarray(m.weight_entropy) <= np.log(32) + 1e-5)
+
+
+def test_long_horizon_structured_path():
+    """T=768 (M=3072 > dense threshold): the prior skips dense factor
+    materialization and the planner runs on the O(T d^2) structured path."""
+    from stoch_gpmp_tpu.gp.prior import make_gp_prior
+    from stoch_gpmp_tpu.planners import SamplerModel, StochGPMPState, stoch_gpmp_step
+
+    dtype = jnp.float32
+    n_dof, traj_len, dt = 2, 768, 0.02
+    start = jnp.zeros(4, dtype=dtype)
+    goals = jnp.asarray([[5.0, 5.0, 0, 0]], dtype=dtype)
+    prior = make_gp_prior(
+        n_dof, traj_len, dt, start, 1e-3, 3.0, sigma_goal=1e-3, goal_states=goals,
+        dtype=dtype,
+    )
+    assert prior.weight_t is None  # auto long-horizon mode
+    s = prior.sample(jax.random.PRNGKey(0), 3)
+    assert s.shape == (1, 3, traj_len, 4)
+    assert bool(jnp.all(jnp.isfinite(s)))
+    # start/goal anchoring survives the long horizon in f32
+    assert float(jnp.abs(s[..., 0, :2]).max()) < 0.1
+    assert float(jnp.abs(s[..., -1, :2] - 5.0).max()) < 0.1
+
+    sampler = SamplerModel.from_prior(prior)
+    assert sampler.precision_dense is None
+    cost = _build_planar()[0].cost  # reuse a planar cost? shapes differ; build GP-only
+    from stoch_gpmp_tpu.costs import CostComposite, CostGP
+
+    cost = CostComposite.create(
+        n_dof, traj_len,
+        [CostGP.create(n_dof, traj_len, start, dt,
+                       {"sigma_start": 1e-3, "sigma_gp": 0.1}, dtype=dtype)],
+    )
+    state = StochGPMPState(particle_means=prior.means, key=jax.random.PRNGKey(1))
+    new_state, aux = jax.jit(
+        lambda sa, c, st, ob: stoch_gpmp_step(
+            sa, c, st, ob, num_samples=4, temperature=1.0, step_size=0.5
+        )
+    )(sampler, cost, state, {})
+    assert bool(jnp.all(jnp.isfinite(new_state.particle_means)))
