@@ -87,3 +87,30 @@ def make_sharded_optimize(mesh: Mesh, **static_kwargs):
         key=NamedSharding(mesh, PartitionSpec()),
     )
     return jax.jit(run, out_shardings=(out_state_sh, None))
+
+
+def make_sharded_gpmp_optimize(mesh: Mesh, **static_kwargs):
+    """Multi-chip Gauss-Newton: particles (and their per-particle structured
+    Cholesky solves) shard over the ``p`` axis; the trust-region damping's
+    particle-mean reduction becomes an all-reduce."""
+    from stoch_gpmp_tpu.planners.gpmp import GPMPState, gpmp_optimize
+
+    def run(cost, state, observation):
+        return gpmp_optimize(cost, state, observation, **static_kwargs)
+
+    out_sh = GPMPState(
+        particle_means=NamedSharding(mesh, PartitionSpec("p", None, None)),
+        key=NamedSharding(mesh, PartitionSpec()),
+    )
+    return jax.jit(run, out_shardings=out_sh)
+
+
+def shard_gpmp_state(mesh: Mesh, state):
+    from stoch_gpmp_tpu.planners.gpmp import GPMPState
+
+    return GPMPState(
+        particle_means=jax.device_put(
+            state.particle_means, NamedSharding(mesh, PartitionSpec("p", None, None))
+        ),
+        key=jax.device_put(state.key, NamedSharding(mesh, PartitionSpec())),
+    )

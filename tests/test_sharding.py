@@ -81,3 +81,41 @@ def test_mesh_shapes():
     assert mesh.devices.shape == (4, 2)
     mesh1 = make_mesh(1)
     assert mesh1.devices.shape == (1, 1)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_gpmp_matches_single_device():
+    from stoch_gpmp_tpu.costs import CostComposite, CostGP, CostGoalPrior
+    from stoch_gpmp_tpu.parallel import make_sharded_gpmp_optimize, shard_gpmp_state
+    from stoch_gpmp_tpu.planners.gpmp import GPMPState, gpmp_optimize
+
+    dtype = jnp.float64
+    n_dof, traj_len, dt = 2, 10, 0.05
+    start = jnp.zeros(4, dtype=dtype)
+    goals = jnp.asarray(
+        [[1.0, 1, 0, 0], [1, -1, 0, 0], [-1, 1, 0, 0], [-1, -1, 0, 0]], dtype=dtype
+    )
+    cost = CostComposite.create(
+        n_dof, traj_len,
+        [
+            CostGP.create(n_dof, traj_len, start, dt,
+                          {"sigma_start": 1e-2, "sigma_gp": 1.0}, dtype=dtype),
+            CostGoalPrior.create(n_dof, traj_len, goals, sigma_goal_prior=1e-2, dtype=dtype),
+        ],
+    )
+    rng = np.random.default_rng(0)
+    means = jnp.asarray(rng.standard_normal((8, traj_len, 4)))
+    state = GPMPState(particle_means=means, key=jax.random.PRNGKey(0))
+    kwargs = dict(opt_iters=4, delta=1e-2, trust_region=True, step_size=0.5)
+
+    s1 = jax.jit(
+        lambda c, st, ob: gpmp_optimize(c, st, ob, **kwargs)
+    )(cost, state, {})
+    mesh = make_mesh(8, axis_shape=(8, 1))
+    run = make_sharded_gpmp_optimize(mesh, **kwargs)
+    s2 = run(cost, shard_gpmp_state(mesh, state), {})
+    np.testing.assert_allclose(
+        np.asarray(s1.particle_means), np.asarray(s2.particle_means),
+        rtol=1e-9, atol=1e-10,
+    )
+    assert len(s2.particle_means.sharding.device_set) == 8
