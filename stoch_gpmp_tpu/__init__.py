@@ -13,3 +13,24 @@ runs under ``jit`` + ``lax.scan`` with vmapped goals x particles x samples.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level re-exports (keeps `import stoch_gpmp_tpu` light)."""
+    from importlib import import_module
+
+    _exports = {
+        "StochGPMP": "stoch_gpmp_tpu.planners",
+        "GPMP": "stoch_gpmp_tpu.planners",
+        "GPPrior": "stoch_gpmp_tpu.gp",
+        "make_gp_prior": "stoch_gpmp_tpu.gp",
+        "CostComposite": "stoch_gpmp_tpu.costs",
+        "CostGP": "stoch_gpmp_tpu.costs",
+        "CostGoalPrior": "stoch_gpmp_tpu.costs",
+        "CostCollision": "stoch_gpmp_tpu.costs",
+        "CostGoal": "stoch_gpmp_tpu.costs",
+        "generate_obstacle_map": "stoch_gpmp_tpu.envs",
+    }
+    if name in _exports:
+        return getattr(import_module(_exports[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
