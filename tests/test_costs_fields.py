@@ -159,3 +159,45 @@ def test_cost_composite_sums_children():
     got = np.asarray(comp.eval(trajs))
     want = np.asarray(c1.eval(trajs)) + np.asarray(c2.eval(trajs))
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_cost_gp_trajectory():
+    """CostGPTrajectory = GP smoothness only (reference cost_functions.py:171-218)."""
+    from stoch_gpmp_tpu.costs import CostGPTrajectory
+
+    rng = np.random.default_rng(5)
+    n_dof, t, dt = 2, 8, 0.1
+    start = jnp.zeros(4, dtype=jnp.float64)
+    full = CostGP.create(n_dof, t, start, dt, {"sigma_start": 1.0, "sigma_gp": 0.7}, dtype=jnp.float64)
+    traj_only = CostGPTrajectory.create(n_dof, t, start, dt, {"sigma_gp": 0.7}, dtype=jnp.float64)
+    trajs = _rand_trajs(rng, 3, t, 4)
+    # anchored at start -> start term vanishes, costs must agree
+    anchored = trajs.at[:, 0, :].set(start)
+    np.testing.assert_allclose(
+        np.asarray(traj_only.eval(anchored)), np.asarray(full.eval(anchored)), rtol=1e-9
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        traj_only.gn_contrib(trajs)
+
+
+def test_link_field_interpolation():
+    """num_interpolate adds points along the configured link segments
+    (reference fields.py:68-74)."""
+    pos = np.zeros((1, 3, 3))
+    pos[0, 0] = [0, 0, 0]
+    pos[0, 1] = [1, 0, 0]
+    pos[0, 2] = [2, 0, 0]
+    lt = np.tile(np.eye(4), (1, 3, 1, 1))
+    lt[..., :3, 3] = pos
+    spheres = jnp.asarray([[[1.5, 0.0, 0.0, 0.1]]])
+    f0 = LinkDistanceField(field_type="occupancy", num_interpolate=0)
+    f3 = LinkDistanceField(
+        field_type="occupancy", num_interpolate=3, link_interpolate_range=(1, 2)
+    )
+    # the sphere at x=1.5 contains no raw link point, but contains an
+    # interpolated point on the segment link1->link2
+    c0 = float(f0.compute_cost(jnp.asarray(lt), obstacle_spheres=spheres)[0])
+    c3 = float(f3.compute_cost(jnp.asarray(lt), obstacle_spheres=spheres)[0])
+    assert c0 == 0.0 and c3 >= 1.0

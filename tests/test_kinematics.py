@@ -199,3 +199,37 @@ def test_ik_converges_to_reachable_pose():
     assert float(jnp.linalg.norm(err[3:])) < 1e-2  # rotation
     # joint limits respected
     assert bool(jnp.all(q >= chain.limits_lower)) and bool(jnp.all(q <= chain.limits_upper))
+
+
+def test_quaternion_180_degree_branches():
+    """All four branch cases of matrix_to_quaternion (trace-dominant and each
+    diagonal-dominant case, incl. 180-degree rotations where trace = -1)."""
+    cases = [
+        np.eye(3),
+        Rotation.from_euler("x", np.pi).as_matrix(),
+        Rotation.from_euler("y", np.pi).as_matrix(),
+        Rotation.from_euler("z", np.pi).as_matrix(),
+        Rotation.from_rotvec(np.pi * np.array([1, 1, 0]) / np.sqrt(2)).as_matrix(),
+    ]
+    for m in cases:
+        q = np.asarray(matrix_to_quaternion(jnp.asarray(m)))
+        back = np.asarray(quaternion_to_matrix(jnp.asarray(q)))
+        np.testing.assert_allclose(back, m, atol=1e-5)
+
+
+def test_quaternion_batched():
+    rng = np.random.default_rng(9)
+    ms = Rotation.random(16, random_state=rng).as_matrix()
+    qs = np.asarray(matrix_to_quaternion(jnp.asarray(ms)))
+    backs = np.asarray(quaternion_to_matrix(jnp.asarray(qs)))
+    np.testing.assert_allclose(backs, ms, atol=1e-6)
+
+
+def test_rotation_angle_gradient_finite_at_zero():
+    import jax
+
+    g = jax.grad(lambda t: float(0) + se3_distance(
+        homogeneous(z_rot(t), jnp.zeros(3, dtype=jnp.float64)),
+        homogeneous(z_rot(jnp.asarray(0.0, dtype=jnp.float64)), jnp.zeros(3, dtype=jnp.float64)),
+    ))(jnp.asarray(0.0, dtype=jnp.float64))
+    assert np.isfinite(float(g))
