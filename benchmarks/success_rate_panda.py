@@ -1,0 +1,143 @@
+"""Closed-loop Panda success-rate evaluation.
+
+Plans with StochGPMP (7-DOF, sphere obstacles, SE(3) goal), then executes the
+best particle-mean trajectory as position targets in the kinematic
+``PandaEnv`` with the same obstacles; success = EE within 0.125 m of the
+target (reference ``envs/panda.py:489``) with no contact. The reference's
+Panda pipeline needs the external ``torch_robotics`` package and cannot run
+here, so this is a self-evaluation against the reference's own success
+criterion.
+
+Usage: ``python benchmarks/success_rate_panda.py [--seeds 5] [--iters 300]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def run_episode(seed: int, iters: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from stoch_gpmp_tpu.costs import (
+        CostCollision, CostComposite, CostGP, CostGoal, CostGoalPrior,
+        EESE3DistanceField, LinkDistanceField, LinkSelfDistanceField,
+    )
+    from stoch_gpmp_tpu.envs.panda_env import PandaEnv, random_init_static_sphere
+    from stoch_gpmp_tpu.kinematics import homogeneous, y_rot, z_rot
+    from stoch_gpmp_tpu.kinematics.ik import solve_ik_multistart
+    from stoch_gpmp_tpu.kinematics.panda_model import franka_panda
+    from stoch_gpmp_tpu.planners import StochGPMP
+
+    dtype = jnp.float32
+    traj_len, dt = 32, 0.05
+    rng = np.random.default_rng(seed)
+    chain = franka_panda(dtype=dtype)
+    n_dof = chain.n_dofs
+
+    target_pos = np.array([0.3, 0.3, 0.3]) + rng.uniform(-0.05, 0.05, 3)
+    target_rot = z_rot(jnp.asarray(-np.pi, dtype=dtype)) @ y_rot(jnp.asarray(-np.pi, dtype=dtype))
+    target_h = homogeneous(target_rot, jnp.asarray(target_pos, dtype=dtype))
+
+    start_q = jnp.asarray([0.012, -0.57, 0.0, -2.81, 0.0, 3.037, 0.741], dtype=dtype)
+    start_state = jnp.concatenate([start_q, jnp.zeros_like(start_q)])
+    q_goal = solve_ik_multistart(
+        chain, target_h, jax.random.PRNGKey(seed), num_starts=16,
+        q_init=start_q, num_iters=150,
+    )
+    goals = jnp.concatenate([q_goal, jnp.zeros_like(q_goal)])[None]
+
+    # obstacles away from start/goal (reference example spawn box)
+    spheres = np.zeros((1, 5, 4))
+    for i in range(5):
+        r, pos = random_init_static_sphere(
+            0.1, 0.2, np.array([0.6, -0.2, 0.6]), np.array([1.0, 0.2, 1.0]), 0.01,
+            rng=rng,
+        )
+        spheres[0, i, :3] = pos
+        spheres[0, i, 3] = r
+    obs = {"obstacle_spheres": jnp.asarray(spheres, dtype=dtype)}
+
+    cost = CostComposite.create(
+        n_dof, traj_len,
+        [
+            CostGP.create(n_dof, traj_len, start_state, dt,
+                          {"sigma_start": 0.0001, "sigma_gp": 0.0007}, dtype=dtype),
+            CostGoalPrior.create(n_dof, traj_len, goals, sigma_goal_prior=20.0, dtype=dtype),
+            CostCollision.create(n_dof, traj_len, LinkSelfDistanceField(margin=0.03), sigma_coll=0.01),
+            CostCollision.create(n_dof, traj_len, LinkDistanceField(), sigma_coll=0.01),
+            CostGoal.create(n_dof, traj_len, EESE3DistanceField(target_h=target_h), sigma_goal=0.00007),
+        ],
+        fk=chain.fk,
+    )
+    planner = StochGPMP(
+        num_particles_per_goal=4, num_samples=32, traj_len=traj_len, dt=dt,
+        n_dof=n_dof, opt_iters=1, start_state=start_state,
+        multi_goal_states=goals, cost=cost, step_size=0.1,
+        sigma_start_init=0.0001, sigma_goal_init=0.1, sigma_gp_init=0.8,
+        sigma_start_sample=0.001, sigma_goal_sample=0.07, sigma_gp_sample=0.1,
+        seed=seed, dtype=dtype,
+    )
+    planner.optimize(opt_iters=iters, observation=obs)
+
+    # pick the particle whose final EE is closest to the target
+    means = np.asarray(planner.particle_means)
+    ee = np.asarray(chain.ee_pose(jnp.asarray(means[:, -1, :n_dof])))
+    best = int(np.argmin(np.linalg.norm(ee[:, :3, 3] - target_pos, axis=-1)))
+    plan_q = means[best, :, :n_dof]
+
+    # closed-loop execution in the kinematic env with the same obstacles
+    env = PandaEnv(num_obst=5, seed=seed, frequency=24)
+    env.reset()
+    env.panda.reset(q=np.asarray(start_q))
+    for i, s in enumerate(env.spheres):
+        s.base_position = spheres[0, i, :3].copy()
+        s.scale = float(spheres[0, i, 3])
+        s.base_linear_velocity = np.zeros(3)
+    env.set_goals([target_pos, target_pos + np.array([0, 0, 100.0])])
+
+    contact = False
+    for t in range(plan_q.shape[0]):
+        for _ in range(4):  # let the arm track each waypoint
+            _, _, done, info = env.step(plan_q[t])
+        contact = contact or env.is_contact
+        if env.goal_reached[0]:
+            break
+    ee_final, _ = env.panda.getEEPositionAndOrientation()
+    dist = float(np.linalg.norm(ee_final - target_pos))
+    return {
+        "seed": seed,
+        "goal_reached": bool(env.goal_reached[0]),
+        "contact": bool(contact),
+        "final_ee_dist": round(dist, 4),
+        "success": bool(env.goal_reached[0] and not contact),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=300)
+    args = ap.parse_args()
+    results = [run_episode(s, args.iters) for s in range(args.seeds)]
+    for r in results:
+        print(json.dumps(r), flush=True)
+    rate = float(np.mean([r["success"] for r in results]))
+    print(json.dumps({
+        "planner": "stoch_gpmp_tpu panda closed-loop",
+        "success_rate": round(rate, 3),
+        "episodes": len(results),
+        "criterion": "EE within 0.125 m, no contact (reference envs/panda.py:489)",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
