@@ -105,39 +105,145 @@ class KinematicChain:
         self.limits_velocity = jnp.asarray(vel, dtype=dtype)
 
     def fk(self, q: jnp.ndarray) -> jnp.ndarray:
-        """All selected link poses: ``q [..., n_dofs] -> [..., L, 4, 4]``."""
+        """All selected link poses: ``q [..., n_dofs] -> [..., L, 4, 4]``.
+
+        TPU-critical implementation: rotations are carried as nine scalar
+        "planes" (structure-of-arrays) composed with explicit formulas —
+        batched ``[B, 4, 4] @ [B, 4, 4]`` matmuls cannot tile the MXU and
+        measured ~830 us/iteration on v5e for the Panda cost stack; the
+        elementwise form fuses on the VPU. Entries that are compile-time
+        constants (the root frame, fixed joints, and the ±90-degree joint
+        origins whose rotation entries are 0/±1) are folded in PYTHON floats
+        during trace, which keeps the emitted graph small (~10x fewer ops —
+        XLA's CPU backend chokes on the unfolded version). Coefficients below
+        1e-12 (float64 representation noise of pi/2 origins, ~6e-17) are
+        pruned; this perturbs poses by <1e-15 m.
+        """
         q = jnp.asarray(q, dtype=self.dtype)
         batch = q.shape[:-1]
-        root = jnp.broadcast_to(jnp.eye(4, dtype=self.dtype), batch + (4, 4))
-        frames = {self.model.root_link: root}
+
+        # --- tiny scalar algebra over (python float | traced array) -------
+        def is_const(x):
+            return isinstance(x, float)
+
+        def mul(x, y):
+            if is_const(x) and abs(x) < 1e-12:
+                return 0.0
+            if is_const(y) and abs(y) < 1e-12:
+                return 0.0
+            if is_const(x) and is_const(y):
+                return x * y
+            if is_const(x):
+                x, y = y, x
+            # x traced, y const-or-traced
+            if is_const(y):
+                if y == 1.0:
+                    return x
+                if y == -1.0:
+                    return -x
+            return x * y
+
+        def add(*terms):
+            const = 0.0
+            traced = []
+            for t in terms:
+                if is_const(t):
+                    const += t
+                else:
+                    traced.append(t)
+            if not traced:
+                return const
+            out = traced[0]
+            for t in traced[1:]:
+                out = out + t
+            if const != 0.0:
+                out = out + const
+            return out
+
+        def compose(r, m):
+            """3x3 product of entry grids (lists of lists of scalars)."""
+            return [
+                [add(*(mul(r[i][k], m[k][j]) for k in range(3))) for j in range(3)]
+                for i in range(3)
+            ]
+
+        root_r = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+        root_p = [0.0, 0.0, 0.0]
+        frames = {self.model.root_link: (root_r, root_p)}
         out = []
         for k, joint in enumerate(self._joints):
-            parent = frames[joint.parent_link]
-            origin = jnp.asarray(self._origins[k], dtype=self.dtype)
-            x = parent @ origin
+            pr, pp = frames[joint.parent_link]
+            a = self._origins[k]  # host-side float64 [4, 4]
+            a_r = [[float(a[i, j]) for j in range(3)] for i in range(3)]
+            r = compose(pr, a_r)
+            p = [
+                add(pp[i], *(mul(pr[i][m], float(a[m, 3])) for m in range(3)))
+                for i in range(3)
+            ]
             if joint.joint_type in ("revolute", "continuous"):
                 qj = q[..., self._dof_index[k]]
-                axis = jnp.asarray(self._axes[k], dtype=self.dtype)
-                rot = axis_angle_to_matrix(
-                    jnp.broadcast_to(axis, batch + (3,)), qj
-                )
-                motion = homogeneous(rot, jnp.zeros(batch + (3,), dtype=self.dtype))
-                x = x @ motion
+                c, s = jnp.cos(qj), jnp.sin(qj)
+                kx, ky, kz = (float(v) for v in self._axes[k])
+                one_c = 1.0 - c
+                # Rodrigues M = I + s K + (1-c) K^2 with constant axis
+                kmat = [
+                    [
+                        add(c, mul(one_c, kx * kx)),
+                        add(mul(one_c, kx * ky), mul(s, -kz)),
+                        add(mul(one_c, kx * kz), mul(s, ky)),
+                    ],
+                    [
+                        add(mul(one_c, ky * kx), mul(s, kz)),
+                        add(c, mul(one_c, ky * ky)),
+                        add(mul(one_c, ky * kz), mul(s, -kx)),
+                    ],
+                    [
+                        add(mul(one_c, kz * kx), mul(s, -ky)),
+                        add(mul(one_c, kz * ky), mul(s, kx)),
+                        add(c, mul(one_c, kz * kz)),
+                    ],
+                ]
+                r = compose(r, kmat)
             elif joint.joint_type == "prismatic":
                 qj = q[..., self._dof_index[k]]
-                axis = jnp.asarray(self._axes[k], dtype=self.dtype)
-                trans = axis * qj[..., None]
-                motion = homogeneous(
-                    jnp.broadcast_to(jnp.eye(3, dtype=self.dtype), batch + (3, 3)),
-                    trans,
-                )
-                x = x @ motion
+                p = [
+                    add(p[i], mul(qj, add(*(mul(r[i][m], float(self._axes[k][m]))
+                                            for m in range(3)))))
+                    for i in range(3)
+                ]
             elif joint.joint_type != "fixed":
                 raise ValueError(f"unsupported joint type {joint.joint_type}")
-            frames[joint.child_link] = x
-            out.append(x)
-        stacked = jnp.stack([out[i] for i in self._out_idx], axis=-3)
-        return stacked
+            frames[joint.child_link] = (r, p)
+            out.append((r, p))
+
+        # assemble [..., L, 4, 4] once at the end
+        def as_array(x):
+            if is_const(x):
+                return jnp.full(batch, x, dtype=self.dtype)
+            return jnp.broadcast_to(x, batch).astype(self.dtype)
+
+        rows = []
+        for i in self._out_idx:
+            r, p = out[i]
+            mat = jnp.stack(
+                [
+                    jnp.stack(
+                        [as_array(r[j][0]), as_array(r[j][1]), as_array(r[j][2]),
+                         as_array(p[j])],
+                        axis=-1,
+                    )
+                    for j in range(3)
+                ]
+                + [
+                    jnp.stack(
+                        [as_array(0.0), as_array(0.0), as_array(0.0), as_array(1.0)],
+                        axis=-1,
+                    )
+                ],
+                axis=-2,
+            )
+            rows.append(mat)
+        return jnp.stack(rows, axis=-3)
 
     def ee_pose(self, q: jnp.ndarray) -> jnp.ndarray:
         """End-effector (last selected link) pose: ``[..., 4, 4]``."""
