@@ -152,3 +152,61 @@ def test_gpmp_sample_trajectories():
     pos, vel = planner.sample_trajectories(5)
     assert pos.shape == (4, 5, traj_len, 2)
     assert vel.shape == (4, 5, traj_len, 2)
+
+
+def test_gpmp_panda_with_fk_fields():
+    """Gauss-Newton with field Jacobians flowing through the FK chain
+    (reference field_factor.py:34-38 autograd path -> jax.grad here)."""
+    from stoch_gpmp_tpu.costs import (
+        CostCollision,
+        CostGoal,
+        EESE3DistanceField,
+        LinkDistanceField,
+    )
+    from stoch_gpmp_tpu.kinematics import homogeneous, z_rot
+    from stoch_gpmp_tpu.kinematics.panda_model import franka_panda
+
+    dtype = jnp.float64
+    chain = franka_panda(dtype=dtype)
+    n_dof, traj_len, dt = 7, 8, 0.05
+    start_q = jnp.asarray([0.0, -0.5, 0.0, -2.0, 0.0, 2.0, 0.0], dtype=dtype)
+    start = jnp.concatenate([start_q, jnp.zeros_like(start_q)])
+    target_h = homogeneous(z_rot(jnp.asarray(0.3, dtype=dtype)),
+                           jnp.asarray([0.4, 0.2, 0.5], dtype=dtype))
+    cost = CostComposite.create(
+        n_dof, traj_len,
+        [
+            CostGP.create(n_dof, traj_len, start, dt,
+                          {"sigma_start": 0.001, "sigma_gp": 0.1}, dtype=dtype),
+            CostCollision.create(n_dof, traj_len, LinkDistanceField(), sigma_coll=0.1),
+            CostGoal.create(n_dof, traj_len, EESE3DistanceField(target_h=target_h),
+                            sigma_goal=0.05),
+        ],
+        fk=chain.fk,
+    )
+    means = jnp.tile(start[None, None, :], (2, traj_len, 1))
+    state = GPMPState(particle_means=means, key=jax.random.PRNGKey(0))
+    spheres = jnp.asarray([[[0.5, 0.0, 0.5, 0.1]]], dtype=dtype)
+    obs = {"obstacle_spheres": spheres}
+
+    from stoch_gpmp_tpu.kinematics.se3 import se3_distance
+
+    def ee_dist(m):
+        return float(
+            se3_distance(chain.ee_pose(m[:, -1, :n_dof]), target_h).mean()
+        )
+
+    d0 = ee_dist(means)
+    new = state
+    for _ in range(15):
+        new = gpmp_step(cost, new, obs, delta=1e-2, trust_region=False,
+                        method="cholesky", step_size=0.2)
+    assert np.all(np.isfinite(np.asarray(new.particle_means)))
+    # GN through the FK-based field Jacobians pulls the final EE toward the
+    # SE(3) target while keeping the start anchored
+    assert ee_dist(new.particle_means) < d0
+    np.testing.assert_allclose(
+        np.asarray(new.particle_means[:, 0, :n_dof]),
+        np.asarray(jnp.tile(start_q, (2, 1))),
+        atol=0.05,
+    )
