@@ -13,9 +13,15 @@ from stoch_gpmp_tpu.costs.fields import (
     LinkDistanceField,
     LinkSelfDistanceField,
     OccupancyGridField,
+    Primitive2DField,
+    RasterPrimitive2DField,
 )
+from stoch_gpmp_tpu.costs.quadratic import QuadraticCost
 
 __all__ = [
+    "Primitive2DField",
+    "RasterPrimitive2DField",
+    "QuadraticCost",
     "Cost",
     "CostCollision",
     "CostComposite",

@@ -36,3 +36,9 @@ def test_panda_example():
     r = _run("panda_environment.py", "--iters", "20", "--seed", "0")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "final EE->target distances" in r.stdout
+
+
+def test_planar_gpmp_example(tmp_path):
+    r = _run("planar_gpmp.py", "--iters", "10", "--plot", str(tmp_path / "g.png"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "final goal distances" in r.stdout
