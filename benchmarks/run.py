@@ -138,7 +138,7 @@ def _panda_problem(num_goals=1, ppg=5, traj_len=64, num_samples=32):
             CostCollision.create(n_dof, traj_len, LinkDistanceField(), sigma_coll=0.01),
             CostGoal.create(n_dof, traj_len, EESE3DistanceField(target_h=target_h), sigma_goal=0.00007),
         ],
-        fk=chain.fk,
+        fk=chain.fk_compact,  # positions+EE-rot only: ~4x less FK traffic
     )
     prior = make_gp_prior(n_dof, traj_len, dt, start_state, 0.001, 0.1,
                           sigma_goal=0.07, goal_states=goals, dtype=dtype)

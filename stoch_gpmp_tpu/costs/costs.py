@@ -298,7 +298,10 @@ class CostComposite(Cost):
             return None
         batch = trajs.shape[0]
         q = trajs.reshape(-1, trajs.shape[-1])[:, : self.n_dof]
-        return self.fk(q).reshape(batch, self.traj_len, -1, 4, 4)
+        out = self.fk(q)
+        if hasattr(out, "positions"):  # compact LinkState (chain.fk_compact)
+            return out.reshape(batch, self.traj_len)
+        return out.reshape(batch, self.traj_len, -1, 4, 4)
 
     def eval(self, trajs, x_trajs=None, observation=None):
         trajs = trajs.reshape(-1, self.traj_len, 2 * self.n_dof)

@@ -20,6 +20,21 @@ from flax import struct
 from stoch_gpmp_tpu.kinematics.se3 import se3_distance
 
 
+def _link_pos(link_tensor) -> jnp.ndarray:
+    """Link positions from either homogeneous ``[..., L, 4, 4]`` poses or the
+    compact ``kinematics.chain.LinkState`` (the low-traffic FK output)."""
+    if hasattr(link_tensor, "positions"):
+        return link_tensor.positions
+    return link_tensor[..., :3, -1]
+
+
+def _ee_pose(link_tensor) -> jnp.ndarray:
+    """End-effector pose ``[..., 4, 4]`` from either representation."""
+    if hasattr(link_tensor, "ee_pose"):
+        return link_tensor.ee_pose()
+    return link_tensor[..., -1, :, :]
+
+
 def _interpolate_links(
     link_pos: jnp.ndarray, num_interpolate: int, interpolate_range: Sequence[int]
 ) -> jnp.ndarray:
@@ -55,17 +70,17 @@ class LinkDistanceField:
         pytree_node=False, default=(5, 7)
     )
 
-    def _link_positions(self, link_tensor: jnp.ndarray) -> jnp.ndarray:
-        pos = link_tensor[..., :3, -1]
+    def _link_positions(self, link_tensor) -> jnp.ndarray:
+        pos = _link_pos(link_tensor)
         return _interpolate_links(
             pos, self.num_interpolate, self.link_interpolate_range
         )
 
     def distances(
-        self, link_tensor: jnp.ndarray, obstacle_spheres: jnp.ndarray
+        self, link_tensor, obstacle_spheres: jnp.ndarray
     ) -> jnp.ndarray:
         """Signed center distances minus radii: ``[..., L, n_obst]``."""
-        link_pos = link_tensor[..., :3, -1][..., None, :]
+        link_pos = _link_pos(link_tensor)[..., None, :]
         centers = obstacle_spheres[..., :3]
         radii = obstacle_spheres[..., 3]
         return jnp.linalg.norm(link_pos - centers, axis=-1) - radii
@@ -77,7 +92,7 @@ class LinkDistanceField:
         buffer: float = 0.02,
     ) -> jnp.ndarray:
         if obstacle_spheres is None:
-            return jnp.zeros(link_tensor.shape[:-3], dtype=bool)
+            return jnp.zeros(_link_pos(link_tensor).shape[:-2], dtype=bool)
         d = self.distances(link_tensor, obstacle_spheres)
         return jnp.any(d < buffer, axis=(-2, -1))
 
@@ -85,7 +100,7 @@ class LinkDistanceField:
         self, link_tensor: jnp.ndarray, obstacle_spheres: jnp.ndarray | None = None, **kw
     ) -> jnp.ndarray:
         if obstacle_spheres is None:
-            return jnp.asarray(1e10, dtype=link_tensor.dtype)
+            return jnp.asarray(1e10, dtype=_link_pos(link_tensor).dtype)
         return self.distances(link_tensor, obstacle_spheres).sum((-1, -2))
 
     def compute_cost(
@@ -98,7 +113,8 @@ class LinkDistanceField:
         ``obstacle_spheres``: ``[..., n_obst, 4]`` (center xyz, radius).
         Returns ``[...]`` (reduced over links and obstacles)."""
         if obstacle_spheres is None:
-            return jnp.zeros(link_tensor.shape[:-3], dtype=link_tensor.dtype)
+            lp = _link_pos(link_tensor)
+            return jnp.zeros(lp.shape[:-2], dtype=lp.dtype)
         link_pos = self._link_positions(link_tensor)[..., None, :]  # [..., L, 1, 3]
         centers = obstacle_spheres[..., :3]
         radii = obstacle_spheres[..., 3]
@@ -112,7 +128,7 @@ class LinkDistanceField:
             return sdf.max((-1, -2))
         if self.field_type == "occupancy":
             inside = jnp.linalg.norm(link_pos - centers, axis=-1) < radii
-            return inside.sum((-1, -2)).astype(link_tensor.dtype)
+            return inside.sum((-1, -2)).astype(link_pos.dtype)
         raise ValueError(f"unknown field_type: {self.field_type}")
 
 
@@ -127,8 +143,8 @@ class LinkSelfDistanceField:
         pytree_node=False, default=(5, 7)
     )
 
-    def distances(self, link_tensor: jnp.ndarray) -> jnp.ndarray:
-        pos = link_tensor[..., :3, -1]
+    def distances(self, link_tensor) -> jnp.ndarray:
+        pos = _link_pos(link_tensor)
         return jnp.linalg.norm(pos[..., None, :] - pos[..., None, :, :], axis=-1)
 
     def compute_collision(
@@ -147,8 +163,8 @@ class LinkSelfDistanceField:
     def compute_distance(self, link_tensor: jnp.ndarray) -> jnp.ndarray:
         return self.distances(link_tensor).sum((-1, -2))
 
-    def compute_cost(self, link_tensor: jnp.ndarray, **kw) -> jnp.ndarray:
-        pos = link_tensor[..., :3, -1]
+    def compute_cost(self, link_tensor, **kw) -> jnp.ndarray:
+        pos = _link_pos(link_tensor)
         pos = _interpolate_links(pos, self.num_interpolate, self.link_interpolate_range)
         sq = jnp.sum(
             jnp.square(pos[..., None, :] - pos[..., None, :, :]), axis=-1
@@ -169,12 +185,12 @@ class EESE3DistanceField:
     def update_target(self, target_h: jnp.ndarray) -> "EESE3DistanceField":
         return self.replace(target_h=target_h)
 
-    def compute_distance(self, link_tensor: jnp.ndarray) -> jnp.ndarray:
+    def compute_distance(self, link_tensor) -> jnp.ndarray:
         return se3_distance(
-            link_tensor[..., -1, :, :], self.target_h, w_pos=self.w_pos, w_rot=self.w_rot
+            _ee_pose(link_tensor), self.target_h, w_pos=self.w_pos, w_rot=self.w_rot
         )
 
-    def compute_cost(self, link_tensor: jnp.ndarray, **kw) -> jnp.ndarray:
+    def compute_cost(self, link_tensor, **kw) -> jnp.ndarray:
         dist = self.compute_distance(link_tensor)
         return jnp.square(dist) if self.square else dist
 

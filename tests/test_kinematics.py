@@ -233,3 +233,48 @@ def test_rotation_angle_gradient_finite_at_zero():
         homogeneous(z_rot(jnp.asarray(0.0, dtype=jnp.float64)), jnp.zeros(3, dtype=jnp.float64)),
     ))(jnp.asarray(0.0, dtype=jnp.float64))
     assert np.isfinite(float(g))
+
+
+def test_fk_compact_matches_full():
+    from stoch_gpmp_tpu.kinematics.chain import LinkState
+
+    chain = franka_panda(dtype=jnp.float64)
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.uniform(-1.5, 1.5, (4, 7)))
+    full = np.asarray(chain.fk(q))  # [4, L, 4, 4]
+    compact = chain.fk_compact(q)
+    assert isinstance(compact, LinkState)
+    np.testing.assert_allclose(np.asarray(compact.positions), full[..., :3, 3], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(compact.ee_rot), full[:, -1, :3, :3], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(compact.ee_pose()), full[:, -1], atol=1e-12)
+
+
+def test_fields_accept_linkstate():
+    from stoch_gpmp_tpu.costs import (
+        EESE3DistanceField,
+        LinkDistanceField,
+        LinkSelfDistanceField,
+    )
+
+    chain = franka_panda(dtype=jnp.float64)
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.uniform(-1.0, 1.0, (6, 7)))
+    full = chain.fk(q)
+    compact = chain.fk_compact(q)
+    spheres = jnp.asarray(rng.uniform(0.2, 0.8, (1, 3, 4)))
+
+    f1 = LinkDistanceField()
+    np.testing.assert_allclose(
+        np.asarray(f1.compute_cost(full, obstacle_spheres=spheres)),
+        np.asarray(f1.compute_cost(compact, obstacle_spheres=spheres)),
+        rtol=1e-12,
+    )
+    f2 = LinkSelfDistanceField(margin=0.05)
+    np.testing.assert_allclose(
+        np.asarray(f2.compute_cost(full)), np.asarray(f2.compute_cost(compact)), rtol=1e-12
+    )
+    target = full[0, -1]
+    f3 = EESE3DistanceField(target_h=target)
+    np.testing.assert_allclose(
+        np.asarray(f3.compute_cost(full)), np.asarray(f3.compute_cost(compact)), rtol=1e-10
+    )

@@ -188,3 +188,20 @@ def test_long_horizon_structured_path():
         )
     )(sampler, cost, state, {})
     assert bool(jnp.all(jnp.isfinite(new_state.particle_means)))
+
+
+def test_sample_dtype_bf16_stays_close():
+    """Opt-in bf16 sampling perturbs draws mildly; the planner still descends
+    and stays finite."""
+    p1, *_ = _build_planar(seed=11)
+    from stoch_gpmp_tpu.planners import stoch_gpmp_optimize
+
+    out = jax.jit(
+        lambda sa, c, st, ob: stoch_gpmp_optimize(
+            sa, c, st, ob, opt_iters=20, num_samples=32, temperature=1.0,
+            step_size=0.5, sample_dtype=jnp.bfloat16,
+        )
+    )(p1.sampler, p1.cost, p1.state, {})
+    st, aux = out
+    assert np.all(np.isfinite(np.asarray(st.particle_means)))
+    assert st.particle_means.dtype == jnp.float32  # means stay full precision
