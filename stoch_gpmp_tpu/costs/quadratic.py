@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from stoch_gpmp_tpu.costs.costs import Cost, CostGP, CostGoalPrior, GNContrib
-from stoch_gpmp_tpu.gp.prior import build_precision
 from stoch_gpmp_tpu.gp.tridiag import BlockTridiag
 
 

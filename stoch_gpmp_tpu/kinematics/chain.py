@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from stoch_gpmp_tpu.kinematics.se3 import axis_angle_to_matrix, homogeneous, rpy_to_matrix
+from stoch_gpmp_tpu.kinematics.se3 import homogeneous
 from stoch_gpmp_tpu.kinematics.urdf import RobotModel
 
 

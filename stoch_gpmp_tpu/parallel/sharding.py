@@ -23,7 +23,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from stoch_gpmp_tpu.planners.stoch_gpmp import (
-    SamplerModel,
     StochGPMPState,
     stoch_gpmp_optimize,
 )
