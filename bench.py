@@ -16,40 +16,87 @@ import time
 import jax
 
 
-def main():
+def _make_runner(fused: bool):
+    """Returns (run(means_state) -> state, initial_state, num_particles).
+
+    ``fused=True`` uses the single-kernel Pallas iteration (TPU only;
+    validated for moments/goal-reaching in tests) — the framework's fastest
+    correct path. Falls back to the jitted XLA pipeline elsewhere.
+    """
+    import jax.numpy as jnp
+
     from __graft_entry__ import _build_problem
     from stoch_gpmp_tpu.planners import stoch_gpmp_optimize
 
     sampler, cost, state = _build_problem(
         n_dof=2, traj_len=64, num_goals=3, ppg=5, with_obstacles=True, fast=True
     )
-    num_particles = state.particle_means.shape[0]
-    num_samples = 128
+    opt_iters, num_samples = 1000, 128
 
-    kwargs = dict(
-        opt_iters=1000, num_samples=num_samples, temperature=1.0, step_size=0.5
-    )
-    run = jax.jit(
-        lambda sa, c, st, ob: stoch_gpmp_optimize(sa, c, st, ob, **kwargs)
+    if fused:
+        from stoch_gpmp_tpu.ops.pallas.fused_step import (
+            fused_planar_optimize_batched,
+            make_fused_planar_step_batched,
+        )
+
+        quad = cost.costs[0]
+        field = cost.costs[1].field
+        p = state.particle_means.shape[0]
+        b_per_p = jnp.repeat(quad.b, p // quad.num_goals, axis=0)
+        step = make_fused_planar_step_batched(
+            weight_t=sampler.weight_t, a_dense=quad.a_dense, b=b_per_p,
+            precision_dense=sampler.precision_dense,
+            rect_bounds=field.rect_bounds, circles=field.circles,
+            cell_size=field.cell_size, nx=field.nx, ny=field.ny,
+            traj_len=64, state_dim=4, num_samples=num_samples,
+            k_coll=1e10, temperature=1.0, step_size=0.5,
+        )
+        run = jax.jit(
+            lambda ms: fused_planar_optimize_batched(step, ms[0], ms[1], opt_iters)
+        )
+        return run, (state.particle_means, state.key), p, opt_iters
+
+    run_x = jax.jit(
+        lambda sa, c, st, ob: stoch_gpmp_optimize(
+            sa, c, st, ob, opt_iters=opt_iters, num_samples=num_samples,
+            temperature=1.0, step_size=0.5,
+        )
     )
 
+    def run(ms):
+        from stoch_gpmp_tpu.planners import StochGPMPState
+
+        st, _ = run_x(sampler, cost, StochGPMPState(particle_means=ms[0], key=ms[1]), {})
+        return st.particle_means, st.key
+
+    return run, (state.particle_means, state.key), state.particle_means.shape[0], opt_iters
+
+
+def main():
     import numpy as np
 
-    # warmup / compile (np.asarray forces a device->host readback: honest sync)
-    st, aux = run(sampler, cost, state, {})
-    _ = np.asarray(st.particle_means)
+    try:
+        if jax.default_backend() != "tpu":
+            raise RuntimeError("fused kernel path is TPU-only")
+        run, ms, num_particles, opt_iters = _make_runner(fused=True)
+    except Exception:
+        run, ms, num_particles, opt_iters = _make_runner(fused=False)
 
-    # timed: chained async chunks of 1000 scanned iterations; one full host
+    # warmup / compile (np.asarray forces a device->host readback: honest sync)
+    ms_out = run(ms)
+    _ = np.asarray(ms_out[0])
+
+    # timed: chained async chunks of scanned iterations; one full host
     # readback at the end forces completion of the whole chain
     n_chunks = 5
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        st, aux = run(sampler, cost, st, {})
-    final = np.asarray(st.particle_means)
+        ms_out = run(ms_out)
+    final = np.asarray(ms_out[0])
     elapsed = time.perf_counter() - t0
     assert np.all(np.isfinite(final))
 
-    iters = n_chunks * kwargs["opt_iters"]
+    iters = n_chunks * opt_iters
     updates_per_sec = num_particles * iters / elapsed
     baseline = 5000.0
     print(
