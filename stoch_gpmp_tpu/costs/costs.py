@@ -52,6 +52,10 @@ class GNContrib:
 class Cost:
     """Protocol-ish base. Subclasses are flax.struct dataclasses."""
 
+    def __call__(self, trajs, **kwargs):
+        """Call-through to eval (reference ``cost_functions.py:20-21``)."""
+        return self.eval(trajs, **kwargs)
+
     def eval(self, trajs, x_trajs=None, observation=None):  # pragma: no cover
         raise NotImplementedError
 
