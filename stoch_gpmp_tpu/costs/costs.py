@@ -192,26 +192,38 @@ class CostGoalPrior(Cost):
 
 @struct.dataclass
 class CostCollision(Cost):
-    """Obstacle cost via a distance field over timesteps ``1..T-1``
-    (reference ``cost_functions.py:221-279``; the field is evaluated on FK
-    link poses when available, otherwise on configuration positions)."""
+    """Obstacle cost via a distance field over a timestep slice (default
+    ``1..T-1``, reference ``cost_functions.py:221-279``); the field is
+    evaluated on FK link poses when available, otherwise on configuration
+    positions. ``traj_range`` generalizes the slice like the reference's
+    standalone ``FieldFactor`` (``field_factor.py:10-15``)."""
 
     field: Any
     sigma_coll: float = struct.field(pytree_node=False)
     n_dof: int = struct.field(pytree_node=False)
+    traj_range: tuple = struct.field(pytree_node=False, default=None)
 
     @classmethod
-    def create(cls, n_dof, traj_len, field, sigma_coll, **kw):
-        del traj_len, kw
-        return cls(field=field, sigma_coll=sigma_coll, n_dof=n_dof)
+    def create(cls, n_dof, traj_len, field, sigma_coll, traj_range=None, **kw):
+        if traj_range is None:
+            traj_range = (1, traj_len)
+        del kw
+        return cls(
+            field=field, sigma_coll=sigma_coll, n_dof=n_dof,
+            traj_range=tuple(traj_range),
+        )
+
+    def _slice(self):
+        return slice(1, None) if self.traj_range is None else slice(*self.traj_range)
 
     def _field_errors(self, trajs, x_trajs, observation):
         obs = observation or {}
         spheres = obs.get("obstacle_spheres", None)
+        sl = self._slice()
         if x_trajs is not None:
-            states = x_trajs[:, 1:]
+            states = x_trajs[:, sl]
             return self.field.compute_cost(states, obstacle_spheres=spheres)
-        states = trajs[:, 1:, : self.n_dof]
+        states = trajs[:, sl, : self.n_dof]
         return self.field.compute_cost(states, obstacle_spheres=spheres)
 
     def eval(self, trajs, x_trajs=None, observation=None):
@@ -230,14 +242,15 @@ class CostCollision(Cost):
             x = fk_trajs(tr) if fk_trajs is not None else None
             return jnp.sum(self._field_errors(tr, x, observation))
 
-        err = self._field_errors(trajs, x_trajs, observation)  # [B, T-1]
-        grad_q = -jax.grad(total_err)(trajs)[..., 1:, : self.n_dof]  # [B, T-1, n_dof]
+        sl = self._slice()
+        err = self._field_errors(trajs, x_trajs, observation)  # [B, range]
+        grad_q = -jax.grad(total_err)(trajs)[..., sl, : self.n_dof]
         h = jnp.zeros(trajs.shape[:-1] + (d,), dtype=trajs.dtype)
-        h = h.at[..., 1:, : self.n_dof].set(grad_q)  # [B, T, d]
+        h = h.at[..., sl, : self.n_dof].set(grad_q)  # [B, T, d]
         # Rank-1 per-step: J^T K J diag block = K h h^T; g = K h e.
         diag = k * jnp.einsum("...ti,...tj->...tij", h, h)
         err_full = jnp.zeros(trajs.shape[:-1], dtype=trajs.dtype)
-        err_full = err_full.at[..., 1:].set(err)
+        err_full = err_full.at[..., sl].set(err)
         g = k * h * err_full[..., None]
         return GNContrib(diag=diag, lower=None, g=g)
 

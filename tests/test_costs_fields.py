@@ -201,3 +201,14 @@ def test_link_field_interpolation():
     c0 = float(f0.compute_cost(jnp.asarray(lt), obstacle_spheres=spheres)[0])
     c3 = float(f3.compute_cost(jnp.asarray(lt), obstacle_spheres=spheres)[0])
     assert c0 == 0.0 and c3 >= 1.0
+
+
+def test_cost_collision_custom_traj_range():
+    """traj_range generalizes the field slice (reference field_factor.py:10-15)."""
+    grid = jnp.ones((4, 4), dtype=jnp.float64)
+    field = OccupancyGridField(grid=grid, cell_size=1.0)
+    trajs = jnp.zeros((2, 6, 4), dtype=jnp.float64)
+    default = CostCollision.create(2, 6, field, sigma_coll=1.0)
+    np.testing.assert_allclose(np.asarray(default.eval(trajs)), [5.0, 5.0])
+    mid = CostCollision.create(2, 6, field, sigma_coll=1.0, traj_range=(2, 5))
+    np.testing.assert_allclose(np.asarray(mid.eval(trajs)), [3.0, 3.0])
