@@ -56,12 +56,53 @@ def _planar_problem(ppg, num_goals=3, traj_len=64, fast=True):
     )
 
 
-def config_1():
-    """planar parity: 2D point-mass, 3 goals, 64 particles/goal, S=128."""
-    sampler, cost, state = _planar_problem(ppg=64)
-    ups, ips = _timed_updates_per_sec(
-        sampler, cost, state, {}, num_samples=128, opt_iters=500
+def _timed_fused_planar(ppg, num_samples, opt_iters, n_chunks=3):
+    """Planar throughput via the fully-fused Pallas iteration kernel
+    (TPU-only; returns None elsewhere so callers fall back to the XLA path)."""
+    if jax.default_backend() != "tpu":
+        return None
+    from stoch_gpmp_tpu.ops.pallas.fused_step import (
+        fused_planar_optimize_batched,
+        make_fused_planar_step_batched,
     )
+
+    sampler, cost, state = _planar_problem(ppg=ppg)
+    quad = cost.costs[0]
+    field = cost.costs[1].field
+    p = state.particle_means.shape[0]
+    b_per_p = jnp.repeat(quad.b, p // quad.num_goals, axis=0)
+    step = make_fused_planar_step_batched(
+        weight_t=sampler.weight_t, a_dense=quad.a_dense, b=b_per_p,
+        precision_dense=sampler.precision_dense,
+        rect_bounds=field.rect_bounds, circles=field.circles,
+        cell_size=field.cell_size, nx=field.nx, ny=field.ny,
+        traj_len=64, state_dim=4, num_samples=num_samples,
+        k_coll=1e10, temperature=1.0, step_size=0.5,
+    )
+    run = jax.jit(lambda m, k: fused_planar_optimize_batched(step, m, k, opt_iters))
+    m1, k1 = run(state.particle_means, state.key)
+    _ = np.asarray(m1)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        m1, k1 = run(m1, k1)
+    final = np.asarray(m1)
+    elapsed = time.perf_counter() - t0
+    assert np.all(np.isfinite(final))
+    iters = n_chunks * opt_iters
+    return p * iters / elapsed, iters / elapsed
+
+
+def config_1():
+    """planar parity: 2D point-mass, 3 goals, 64 particles/goal, S=128
+    (fully-fused Pallas iteration on TPU)."""
+    fused = _timed_fused_planar(ppg=64, num_samples=128, opt_iters=500)
+    if fused is not None:
+        ups, ips = fused
+    else:
+        sampler, cost, state = _planar_problem(ppg=64)
+        ups, ips = _timed_updates_per_sec(
+            sampler, cost, state, {}, num_samples=128, opt_iters=500
+        )
     return {"config": "planar-parity-64ppg", "particles": 192, "value": ups, "iters_per_sec": ips}
 
 
@@ -96,11 +137,15 @@ def config_2():
 
 
 def config_3():
-    """planar dense obstacles, 512 particles/goal."""
-    sampler, cost, state = _planar_problem(ppg=512)
-    ups, ips = _timed_updates_per_sec(
-        sampler, cost, state, {}, num_samples=32, opt_iters=200
-    )
+    """planar dense obstacles, 512 particles/goal (fused kernel on TPU)."""
+    fused = _timed_fused_planar(ppg=512, num_samples=32, opt_iters=200)
+    if fused is not None:
+        ups, ips = fused
+    else:
+        sampler, cost, state = _planar_problem(ppg=512)
+        ups, ips = _timed_updates_per_sec(
+            sampler, cost, state, {}, num_samples=32, opt_iters=200
+        )
     return {"config": "planar-512ppg", "particles": 1536, "value": ups, "iters_per_sec": ips}
 
 

@@ -251,12 +251,14 @@ def fused_planar_optimize(step, means, key, opt_iters: int):
 
 
 def fused_planar_optimize_batched(step, means, key, opt_iters: int):
-    """Scan wrapper for the single-program batched step (one seed pair/iter)."""
+    """Scan wrapper for the batched step (one seed pair per particle block
+    per iteration)."""
+    n_blocks = getattr(step, "n_blocks", 1)
 
     def body(carry, _):
         m, k = carry
         k, sub = jax.random.split(k)
-        seeds = jax.random.bits(sub, (2,), dtype=jnp.uint32).astype(jnp.int32)
+        seeds = jax.random.bits(sub, (n_blocks, 2), dtype=jnp.uint32).astype(jnp.int32)
         new_m, costs = step(m, seeds)
         return (new_m, k), None
 
@@ -265,9 +267,9 @@ def fused_planar_optimize_batched(step, means, key, opt_iters: int):
 
 
 def _kernel_batched(
-    seed_ref,  # [1, 2] int32
-    means_ref,  # [P, M]
-    prec_u_ref,  # [P, M]
+    seed_ref,  # [1, 1, 2] int32 (per particle-block)
+    means_ref,  # [PB, M] (particle block)
+    prec_u_ref,  # [PB, M]
     w_ref,  # [M, M]
     a_ref,  # [M, M]
     b_ref,  # [P, M]
@@ -294,7 +296,7 @@ def _kernel_batched(
     n = p * s
     m = means_ref.shape[-1]
 
-    pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
+    pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
     bits1 = pltpu.bitcast(pltpu.prng_random_bits((n, m)), jnp.int32)
     bits2 = pltpu.bitcast(pltpu.prng_random_bits((n, m)), jnp.int32)
     u1 = jax.lax.shift_right_logical(bits1, 8).astype(jnp.float32) * (
@@ -380,11 +382,30 @@ def make_fused_planar_step_batched(
     k_coll,
     temperature,
     step_size,
+    particles_per_block: int | None = None,
 ):
-    """Single-program variant: all particles x samples in one kernel launch
-    (big MXU matmuls; segmented softmax in-kernel)."""
+    """Batched variant: whole particle blocks per kernel program (big MXU
+    matmuls; segmented softmax in-kernel). For small P one program handles
+    everything; for large particle counts ``particles_per_block`` bounds the
+    per-program VMEM ([PB*S, M] sample block) and the kernel grids over
+    blocks."""
     m = traj_len * state_dim
     p = b.shape[0]
+    if particles_per_block is None:
+        # ~6-8 [PB*S, M] f32 buffers live at once (eps, x, xa, px/py, occ, ...);
+        # keep ONE such buffer around ~1 MB so the total stays under the
+        # ~16 MB scoped-VMEM limit. Mosaic also requires the particle block
+        # dim be a multiple of 8 (sublane tiling) or equal to P.
+        budget = max(1, (1024 * 1024) // (4 * m * num_samples))
+        candidates = [
+            pb for pb in range(1, p + 1)
+            if p % pb == 0 and (pb % 8 == 0 or pb == p)
+        ]
+        fitting = [pb for pb in candidates if pb <= budget]
+        particles_per_block = max(fitting) if fitting else min(candidates)
+    pb = particles_per_block
+    assert p % pb == 0, "num particles must divide into blocks"
+    n_blocks = p // pb
     sel_x = np.zeros((m, traj_len), dtype=np.float32)
     sel_y = np.zeros((m, traj_len), dtype=np.float32)
     for t in range(traj_len):
@@ -400,18 +421,34 @@ def make_fused_planar_step_batched(
 
     kernel = functools.partial(
         _kernel_batched,
-        num_particles=p, num_samples=num_samples,
+        num_particles=pb, num_samples=num_samples,
         n_rects=n_rects, n_circles=n_circles,
         cell_size=cell_size, nx=nx, ny=ny,
         k_coll=k_coll, temperature=temperature, step_size=step_size,
     )
     vm = pltpu.VMEM
+    const = lambda i: (0, 0)  # noqa: E731
+    per_b = lambda i: (i, 0)  # noqa: E731
+    per_b3 = lambda i: (i, 0, 0)  # noqa: E731
     call = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=vm)] * 11,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2), per_b3, memory_space=vm),  # seeds
+            pl.BlockSpec((pb, m), per_b, memory_space=vm),  # means
+            pl.BlockSpec((pb, m), per_b, memory_space=vm),  # prec_u
+            pl.BlockSpec((m, m), const, memory_space=vm),  # W
+            pl.BlockSpec((m, m), const, memory_space=vm),  # A
+            pl.BlockSpec((pb, m), per_b, memory_space=vm),  # b
+            pl.BlockSpec((m, traj_len), const, memory_space=vm),
+            pl.BlockSpec((m, traj_len), const, memory_space=vm),
+            pl.BlockSpec(tuple(rects_in.shape), const, memory_space=vm),
+            pl.BlockSpec(tuple(circles_in.shape), const, memory_space=vm),
+            pl.BlockSpec((1, traj_len), const, memory_space=vm),
+        ],
         out_specs=(
-            pl.BlockSpec(memory_space=vm),
-            pl.BlockSpec(memory_space=vm),
+            pl.BlockSpec((pb, m), per_b, memory_space=vm),
+            pl.BlockSpec((pb, num_samples), per_b, memory_space=vm),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((p, m), jnp.float32),
@@ -425,12 +462,15 @@ def make_fused_planar_step_batched(
     tmask_j = jnp.asarray(tmask)
 
     def step(means, seeds):
+        """``seeds``: [n_blocks, 2] int32 (one hardware-PRNG seed pair per
+        particle block)."""
         means_flat = means.reshape(p, m)
         prec_u = means_flat @ precision_dense
         new_flat, costs = call(
-            seeds.reshape(1, 2), means_flat, prec_u, weight_t, a_dense, b,
-            sel_x, sel_y, rects_in, circles_in, tmask_j,
+            seeds.reshape(n_blocks, 1, 2), means_flat, prec_u, weight_t,
+            a_dense, b, sel_x, sel_y, rects_in, circles_in, tmask_j,
         )
         return new_flat.reshape(p, traj_len, state_dim), costs
 
+    step.n_blocks = n_blocks
     return step
