@@ -51,3 +51,31 @@ def test_fused_no_obstacles_is_self_only():
         np.asarray(c_self.eval(trajs, x_trajs=x_full)),
         rtol=2e-5,
     )
+
+
+def test_fused_step_block_heuristic():
+    """The fused-kernel particle-block chooser returns sublane-aligned
+    divisors under the VMEM budget for awkward particle counts (host-side
+    logic; the kernel itself is TPU-only)."""
+    import jax.numpy as jnp
+
+    from stoch_gpmp_tpu.ops.pallas.fused_step import make_fused_planar_step_batched
+
+    m = 256
+    for p, s in ((15, 128), (192, 128), (1536, 32), (8, 64), (24, 128), (7, 16)):
+        step = make_fused_planar_step_batched(
+            weight_t=jnp.zeros((m, m), jnp.float32),
+            a_dense=jnp.zeros((m, m), jnp.float32),
+            b=jnp.zeros((p, m), jnp.float32),
+            precision_dense=jnp.zeros((m, m), jnp.float32),
+            rect_bounds=jnp.zeros((1, 4), jnp.int32),
+            circles=jnp.zeros((1, 3), jnp.float32),
+            cell_size=0.1, nx=200, ny=200, traj_len=64, state_dim=4,
+            num_samples=s, k_coll=1.0, temperature=1.0, step_size=0.5,
+        )
+        nb = step.n_blocks
+        pb = p // nb
+        assert p % pb == 0
+        assert pb % 8 == 0 or pb == p
+        # one [PB*S, M] f32 buffer stays near the 1 MB budget (or PB == P)
+        assert pb * s * m * 4 <= 2 * 1024 * 1024 or pb == p or nb == 1 or p % 8 != 0
