@@ -307,9 +307,7 @@ def _kernel_batched(
 
     # per-row particle replication of means/b/prec_u via static row blocks
     corr = jnp.dot(eps, w_ref[:], preferred_element_type=jnp.float32)  # [N, M]
-    mean_rows = pltpu.repeat(means_ref[:], s, 0) if False else jnp.repeat(
-        means_ref[:], s, axis=0
-    )
+    mean_rows = jnp.repeat(means_ref[:], s, axis=0)
     x = mean_rows + corr
 
     xa = jnp.dot(x, a_ref[:], preferred_element_type=jnp.float32)

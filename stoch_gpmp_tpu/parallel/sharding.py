@@ -91,11 +91,22 @@ def make_sharded_optimize(mesh: Mesh, **static_kwargs):
 def make_sharded_gpmp_optimize(mesh: Mesh, **static_kwargs):
     """Multi-chip Gauss-Newton: particles (and their per-particle structured
     Cholesky solves) shard over the ``p`` axis; the trust-region damping's
-    particle-mean reduction becomes an all-reduce."""
+    particle-mean reduction becomes an all-reduce.
+
+    Internal sharding constraints (``shard_particles``) pin the means, the GN
+    linearization blocks, and the solved step to the ``p`` axis — mirroring the
+    StochGPMP path — so GSPMD cannot decide to replicate the per-particle
+    solves."""
     from stoch_gpmp_tpu.planners.gpmp import GPMPState, gpmp_optimize
 
+    def shard_p(x):
+        spec = PartitionSpec("p", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
     def run(cost, state, observation):
-        return gpmp_optimize(cost, state, observation, **static_kwargs)
+        return gpmp_optimize(
+            cost, state, observation, shard_particles=shard_p, **static_kwargs
+        )
 
     out_sh = GPMPState(
         particle_means=NamedSharding(mesh, PartitionSpec("p", None, None)),

@@ -52,12 +52,23 @@ def gpmp_step(
     trust_region: bool,
     method: str = "cholesky",
     step_size: float = 1.0,
+    shard_particles=None,
 ) -> GPMPState:
-    """One Gauss-Newton update of all particle means. Pure function."""
+    """One Gauss-Newton update of all particle means. Pure function.
+
+    ``shard_particles``: optional callable applying a leading-axis (particle)
+    sharding constraint to an array — pins the per-particle linearization and
+    structured solves to the ``p`` mesh axis (see ``parallel/sharding.py``) so
+    GSPMD cannot silently replicate the GN path.
+    """
     means = state.particle_means
+    if shard_particles is not None:
+        means = shard_particles(means)
     p, t, d = means.shape
     contrib = cost.gn_contrib(means, observation=observation)
     diag, lower, g = contrib.diag, contrib.lower, contrib.g  # [P,T,d,d],[P,T-1,d,d],[P,T,d]
+    if shard_particles is not None:
+        diag, lower, g = map(shard_particles, (diag, lower, g))
 
     eye = jnp.eye(d, dtype=means.dtype)
     if not trust_region:
@@ -79,6 +90,8 @@ def gpmp_step(
         d_theta = jax.vmap(dense_solve)(diag, lower, g)
     else:
         raise ValueError(f"unknown solve method: {method}")
+    if shard_particles is not None:
+        d_theta = shard_particles(d_theta)
 
     return state.replace(particle_means=means + step_size * d_theta)
 
@@ -93,6 +106,7 @@ def gpmp_optimize(
     trust_region: bool,
     method: str = "cholesky",
     step_size: float = 1.0,
+    shard_particles=None,
 ) -> GPMPState:
     """``opt_iters`` Gauss-Newton updates under ``lax.scan``."""
 
@@ -106,6 +120,7 @@ def gpmp_optimize(
                 trust_region=trust_region,
                 method=method,
                 step_size=step_size,
+                shard_particles=shard_particles,
             ),
             None,
         )
@@ -256,9 +271,12 @@ class GPMP:
         eps = jax.random.normal(
             sub, (p, num_samples_per_particle, t, d), dtype=means.dtype
         )
-        corr = (eps.reshape(p, -1, t * d) @ self._sample_prior.weight_t).reshape(
-            p, -1, t, d
-        )
+        if self._sample_prior.weight_t is not None:
+            corr = (
+                eps.reshape(p, -1, t * d) @ self._sample_prior.weight_t
+            ).reshape(p, -1, t, d)
+        else:  # long-horizon mode: structured O(T d^2) backward substitution
+            corr = self._sample_prior.chol.solve_LT(eps)
         samples = means[:, None] + corr
         n = self.n_dof
         return samples[..., :n], samples[..., n:]

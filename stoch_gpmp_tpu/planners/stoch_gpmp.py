@@ -463,9 +463,12 @@ class StochGPMP:
         eps = jax.random.normal(
             sub, (p, num_samples_per_particle, t, d), dtype=means.dtype
         )
-        corr = (eps.reshape(p, -1, t * d) @ self.sampler.weight_t).reshape(
-            p, -1, t, d
-        )
+        if self.sampler.weight_t is not None:
+            corr = (eps.reshape(p, -1, t * d) @ self.sampler.weight_t).reshape(
+                p, -1, t, d
+            )
+        else:  # long-horizon mode (M > dense threshold): structured O(T d^2)
+            corr = self.sampler.chol.solve_LT(eps)
         samples = means[:, None] + corr
         self.state = self.state.replace(key=self._key)
         n = self.n_dof

@@ -190,6 +190,50 @@ def test_long_horizon_structured_path():
     assert bool(jnp.all(jnp.isfinite(new_state.particle_means)))
 
 
+def test_long_horizon_public_api():
+    """T=768 long-horizon mode (weight_t is None): every public method of both
+    planner classes works on the structured path — the round-1 holes were
+    ``sample_trajectories`` matmuling against the absent dense factor."""
+    from stoch_gpmp_tpu.costs import CostComposite, CostGP
+    from stoch_gpmp_tpu.planners import StochGPMP
+    from stoch_gpmp_tpu.planners.gpmp import GPMP
+
+    n_dof, traj_len, dt = 2, 768, 0.02
+    start = np.zeros(4, dtype=np.float32)
+    goals = np.asarray([[5.0, 5.0, 0, 0]], dtype=np.float32)
+    cost = CostComposite.create(
+        n_dof, traj_len,
+        [CostGP.create(n_dof, traj_len, jnp.asarray(start), dt,
+                       {"sigma_start": 1e-3, "sigma_gp": 0.1})],
+    )
+    common = dict(
+        traj_len=traj_len, dt=dt, n_dof=n_dof, opt_iters=2,
+        start_state=start, multi_goal_states=goals, cost=cost,
+        sigma_start_init=1e-3, sigma_start_sample=1e-3,
+        sigma_goal_init=1e-3, sigma_goal_sample=1e-3,
+        sigma_gp_init=3.0, sigma_gp_sample=1.0,
+    )
+
+    planner = StochGPMP(num_particles_per_goal=2, num_samples=4,
+                        step_size=0.5, temperature=1.0, **common)
+    assert planner.sampler.weight_t is None  # really the long-horizon path
+    planner.optimize()
+    pos, vel = planner.get_recent_samples()
+    assert pos.shape == (2, 4, traj_len, n_dof)
+    pos, vel = planner.sample_trajectories(3)
+    assert pos.shape == (2, 3, traj_len, n_dof)
+    assert np.all(np.isfinite(np.asarray(pos)))
+    assert planner.get_traj("best").shape == (traj_len, 2 * n_dof)
+
+    gpmp = GPMP(num_particles_per_goal=2, step_size=0.5,
+                solver_params={"delta": 1e-2, "trust_region": True}, **common)
+    assert gpmp._sample_prior.weight_t is None
+    gpmp.optimize()
+    pos, vel = gpmp.sample_trajectories(3)
+    assert pos.shape == (2, 3, traj_len, n_dof)
+    assert np.all(np.isfinite(np.asarray(pos)))
+
+
 def test_sample_dtype_bf16_stays_close():
     """Opt-in bf16 sampling perturbs draws mildly; the planner still descends
     and stays finite."""
