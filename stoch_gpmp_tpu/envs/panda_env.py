@@ -103,6 +103,67 @@ def update_linear_velocity_sphere(
     return pos, vel
 
 
+def update_linear_velocity_sphere_simple(
+    scale: float,
+    base_position: Union[np.ndarray, list],
+    base_linear_velocity: Union[np.ndarray, list],
+    base_position_min: np.ndarray,
+    base_position_max: np.ndarray,
+    shift_order: list,
+    loc: str = None,
+) -> tuple:
+    """Quadrant-aware wall bounce — the variant the reference's ``step``
+    actually calls (``panda.py:419``, body at ``panda.py:106-246``).
+
+    ``shift_order = [location, order]``: ``location`` picks the quadrant
+    (0=north, 1=east, 2=south, 3=west) and ``order`` its half-band. Reference
+    quirks preserved exactly: the cross-axis flip probes at east/south
+    (``panda.py:155-157, 201-203`` test ``pos[1]``/``pos[0]`` for the other
+    axis's flip), and east ``order==1`` testing ``min[1]-scale`` where the
+    clip uses ``max[1]-scale`` (``panda.py:174-180``). All flip conditions
+    read the ORIGINAL position; clips likewise apply to the original.
+    """
+    del loc  # unused in the reference too
+    pos0 = np.asarray(base_position, dtype=float)
+    vel0 = np.asarray(base_linear_velocity, dtype=float)
+    pos, vel = pos0.copy(), vel0.copy()
+    mn = np.asarray(base_position_min, dtype=float)
+    mx = np.asarray(base_position_max, dtype=float)
+    location, order = shift_order
+
+    def bounce(axis, clip_lo, clip_hi, flip_hi=None, hi_idx=None):
+        # flip the velocity when the (possibly cross-axis) probe leaves the
+        # (possibly different) flip band; clip the position to the band
+        flip_hi = clip_hi if flip_hi is None else flip_hi
+        hi_idx = axis if hi_idx is None else hi_idx
+        if pos0[axis] < clip_lo or pos0[hi_idx] > flip_hi:
+            vel[axis] = -vel0[axis]
+        pos[axis] = np.clip(pos0[axis], clip_lo, clip_hi)
+
+    neg_half = (mn[1] + scale, -scale)  # [-wall, 0) band along the swept axis
+    pos_half = (scale, mx[1] - scale)  # (0, +wall] band
+    span = (mn[0] + scale, mx[0] - scale)  # full cross band
+    mirrored = (-(mx[0] - scale), -(mn[0] + scale))
+
+    if location == 0:  # north
+        bounce(0, *(neg_half if order == 0 else pos_half))
+        bounce(1, *span)
+    elif location == 1:  # east
+        bounce(0, *mirrored, hi_idx=1)  # quirk: probes pos[1] for the flip
+        if order == 0:
+            bounce(1, *neg_half)
+        else:  # quirk: flip band max[1]-scale -> min[1]-scale mismatch
+            bounce(1, scale, mx[1] - scale, flip_hi=mn[1] - scale)
+    elif location == 2:  # south
+        bounce(0, *(pos_half if order == 0 else neg_half))
+        bounce(1, *mirrored, hi_idx=0)  # quirk: probes pos[0] for the flip
+    else:  # west
+        bounce(0, *span)
+        bounce(1, *(pos_half if order == 0 else neg_half))
+    bounce(2, mn[2] + scale, mx[2] - scale)
+    return pos, vel
+
+
 class PandaEnv:
     """Gym-like closed-loop environment (reference ``panda.py:249-684``)."""
 
@@ -129,6 +190,12 @@ class PandaEnv:
         self.max_obs_dist = kwargs.get("max_obs_dist", 0.0)
         self.max_floor_dist = kwargs.get("max_floor_dist", 0.0)
         self.motion_obstacles = kwargs.get("motion_obstacles", 0)
+        # Quadrant/half-band for the dynamic-sphere bounce. The reference's
+        # step reads self.shift/self.order (panda.py:437) without ever
+        # defining them — a latent AttributeError on its dynamic path; we
+        # surface them as kwargs with benign defaults.
+        self.shift = kwargs.get("shift", 0)
+        self.order = kwargs.get("order", 0)
 
         self._buffer_goal_counter = 1
         self._max_buffer_len = int(kwargs.get("buffer_length", 1000))
@@ -248,20 +315,28 @@ class PandaEnv:
             a_t = np.array(self.panda.q)
         self.panda.setTargetPositions(np.asarray(a_t).squeeze())
 
+        # Bounce dynamic spheres ONCE per env step, before the substep
+        # integration — the reference's step order (panda.py:409-443: bounce
+        # and write-back, then stepSimulation x frequency) with the variant
+        # its step actually calls (panda.py:419).
+        for sphere in self.spheres:
+            if sphere.role == 1:
+                pos, vel = update_linear_velocity_sphere_simple(
+                    scale=sphere.scale,
+                    base_position=sphere.base_position,
+                    base_linear_velocity=sphere.base_linear_velocity,
+                    base_position_min=_SPHERE_MIN,
+                    base_position_max=_SPHERE_MAX,
+                    shift_order=[self.shift, self.order],
+                )
+                sphere.base_position, sphere.base_linear_velocity = pos, vel
+
         dt = self._dt_sim
         for _ in range(self._frequency):
             self.panda.step(dt)
             for sphere in self.spheres:
                 if sphere.role == 1:
                     sphere.integrate(dt)
-                    pos, vel = update_linear_velocity_sphere(
-                        sphere.base_position,
-                        sphere.base_linear_velocity,
-                        _SPHERE_MIN,
-                        _SPHERE_MAX,
-                        z_offset=sphere.scale,
-                    )
-                    sphere.base_position, sphere.base_linear_velocity = pos, vel
 
         self.s_t = [
             np.array(self.panda.getJointStates()).reshape(1, 1, -1).copy(),

@@ -101,3 +101,72 @@ def test_random_sphere_in_bounds():
         scale, pos = random_init_static_sphere(0.08, 0.1, lo, hi, 0.0, rng=rng)
         assert 0.08 <= scale <= 0.1
         assert np.all(np.abs(pos) <= hi + 1e-12)
+
+
+def _load_reference_simple_bounce():
+    """Extract the reference's update_linear_velocity_sphere_simple without
+    importing its module (which requires pybullet)."""
+    import ast
+    import pathlib
+
+    src = pathlib.Path("/root/reference/stoch_gpmp/envs/panda.py").read_text()
+    tree = ast.parse(src)
+    fn = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef)
+        and n.name == "update_linear_velocity_sphere_simple"
+    )
+    import typing
+
+    ns = {"np": np, "Union": typing.Union}
+    exec(compile(ast.Module([fn], []), "<ref>", "exec"), ns)
+    return ns["update_linear_velocity_sphere_simple"]
+
+
+def test_simple_bounce_parity_vs_reference():
+    """Bit-level parity of the quadrant bounce (the variant the reference's
+    step calls, panda.py:419) on random states across all quadrant/half
+    combinations — quirks included."""
+    import pytest
+
+    try:
+        ref_fn = _load_reference_simple_bounce()
+    except (OSError, StopIteration):
+        pytest.skip("reference checkout unavailable")
+    from stoch_gpmp_tpu.envs.panda_env import (
+        update_linear_velocity_sphere_simple as ours,
+    )
+
+    rng = np.random.default_rng(123)
+    mn = np.array([0.3 - 0.18, -0.35, 0.05])
+    mx = np.array([0.3 + 0.18, 0.35, 0.5])
+    for _ in range(200):
+        scale = float(rng.uniform(0.05, 0.12))
+        pos = rng.uniform(-0.8, 0.8, 3)
+        pos[2] = rng.uniform(-0.1, 0.7)
+        vel = rng.uniform(-0.3, 0.3, 3)
+        location = int(rng.integers(0, 4))
+        order = int(rng.integers(0, 2))
+        p_ref, v_ref = ref_fn(
+            scale, pos.copy(), vel.copy(), mn, mx, [location, order]
+        )
+        p_ours, v_ours = ours(
+            scale, pos.copy(), vel.copy(), mn, mx, [location, order]
+        )
+        np.testing.assert_array_equal(p_ref, p_ours, err_msg=f"{location},{order}")
+        np.testing.assert_array_equal(v_ref, v_ours, err_msg=f"{location},{order}")
+
+
+def test_dynamic_spheres_step_uses_simple_bounce():
+    """Dynamic spheres move, bounce, and stay inside the flip-banded box."""
+    env = PandaEnv(num_obst=2, seed=3, motion_obstacles=1, shift=0, order=0)
+    env.reset()
+    assert all(s.role == 1 for s in env.spheres)
+    p0 = np.array([s.base_position.copy() for s in env.spheres])
+    for _ in range(50):
+        env.step()
+    p1 = np.array([s.base_position for s in env.spheres])
+    assert np.any(np.abs(p1 - p0) > 1e-6)  # they actually moved
+    for s in env.spheres:
+        assert np.all(np.isfinite(s.base_position))
+        assert np.all(np.isfinite(s.base_linear_velocity))
