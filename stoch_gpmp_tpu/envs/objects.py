@@ -4,10 +4,11 @@ Capability parity with reference ``stoch_gpmp/envs/objects.py``, whose classes
 are thin wrappers around a PyBullet client (``BodyCore``/``Sphere``/``Panda``,
 ``objects.py:10-368``). Here the bodies are plain kinematic state containers:
 the Panda tracks joint-position targets under its velocity limits, poses come
-from the built-in differentiable FK, and IK uses the native multi-start
-solver — so the whole closed-loop harness runs without any native engine.
-``solveInverseDynamics`` (a bullet pass-through in the reference, never used
-by its examples) is not modeled.
+from the built-in differentiable FK, IK uses the native multi-start solver,
+and ``solveInverseDynamics`` / ``setTargetTorques`` (bullet pass-throughs in
+the reference, ``objects.py:306-313, 346-348``) run on the native batched
+RNEA (``kinematics/dynamics.py``) — the whole closed-loop harness runs
+without any physics engine.
 """
 
 from __future__ import annotations
@@ -84,25 +85,62 @@ class Panda:
         self.jl_lower = np.asarray(self.chain.limits_lower)
         self.jl_upper = np.asarray(self.chain.limits_upper)
         self.velocity_limit = np.asarray(self.chain.limits_velocity)
+        # effort limits from the reference asset (87 Nm joints 1-4, 12 Nm 5-7)
+        self.effort_limit = np.array([87.0, 87.0, 87.0, 87.0, 12.0, 12.0, 12.0])
+        self._dynamics = None  # built on first dynamics call
         self.reset()
+
+    @property
+    def dynamics(self):
+        if self._dynamics is None:
+            from stoch_gpmp_tpu.kinematics.panda_model import panda_dynamics
+
+            self._dynamics = panda_dynamics()
+        return self._dynamics
 
     def reset(self, q=None):
         self.q = np.asarray(q if q is not None else self.HOME, dtype=float).copy()
         self.dq = np.zeros(self.dof)
         self.target_joint_positions = self.q.copy()
+        self.target_torques = np.zeros(self.dof)
+        self.control_mode = "position"
 
     def setTargetPositions(self, target_joint_positions):
         t = np.asarray(target_joint_positions, dtype=float).reshape(-1)[: self.dof]
         self.target_joint_positions = np.clip(t, self.jl_lower, self.jl_upper)
+        self.control_mode = "position"
+
+    def setTargetTorques(self, target_torques):
+        """Torque control (reference ``objects.py:306-313`` sets bullet
+        TORQUE_CONTROL): subsequent ``step`` calls integrate the native
+        forward dynamics under these clamped joint torques."""
+        t = np.asarray(target_torques, dtype=float).reshape(-1)[: self.dof]
+        self.target_torques = np.clip(t, -self.effort_limit, self.effort_limit)
+        self.control_mode = "torque"
 
     def step(self, dt: float):
-        """First-order tracking toward the target under velocity limits
-        (kinematic stand-in for the reference's PD position control)."""
+        if self.control_mode == "torque":
+            return self._step_torque(dt)
+        # First-order tracking toward the target under velocity limits
+        # (kinematic stand-in for the reference's PD position control).
         err = self.target_joint_positions - self.q
         max_step = self.velocity_limit * dt
         dq = np.clip(err, -max_step, max_step)
         self.q = self.q + dq
         self.dq = dq / dt if dt > 0 else np.zeros_like(dq)
+
+    def _step_torque(self, dt: float):
+        """Semi-implicit Euler under the commanded torques:
+        ``qdd = M(q)^{-1}(tau - h(q, qd))`` via RNEA."""
+        qdd = np.asarray(
+            self.dynamics.forward_dynamics(
+                jnp.asarray(self.q), jnp.asarray(self.dq), jnp.asarray(self.target_torques)
+            )
+        )
+        self.dq = np.clip(
+            self.dq + qdd * dt, -self.velocity_limit, self.velocity_limit
+        )
+        self.q = np.clip(self.q + self.dq * dt, self.jl_lower, self.jl_upper)
 
     def getJointStates(self):
         return list(self.q), list(self.dq)
@@ -115,6 +153,17 @@ class Panda:
         pos = ee[:3, 3]
         quat = np.asarray(matrix_to_quaternion(jnp.asarray(ee[:3, :3])))
         return pos, quat
+
+    def solveInverseDynamics(self, pos, vel, acc):
+        """Joint torques realizing ``acc`` at state ``(pos, vel)`` under
+        gravity — reference signature (``objects.py:346-348`` wraps bullet's
+        ``calculateInverseDynamics``); here the native batched RNEA."""
+        tau = self.dynamics.rnea(
+            jnp.asarray(pos, dtype=jnp.float64)[..., : self.dof],
+            jnp.asarray(vel, dtype=jnp.float64)[..., : self.dof],
+            jnp.asarray(acc, dtype=jnp.float64)[..., : self.dof],
+        )
+        return list(np.asarray(tau))
 
     def solveInverseKinematics(self, pos, ori=None, seed: int = 0):
         """IK to a position (+ optional quaternion ``[x,y,z,w]``); returns the

@@ -2,8 +2,10 @@
 
 Replaces the reference's external ``torch_robotics`` kinematic-tree dependency
 (SURVEY.md §2.2): the Panda workload needs URDF -> batched differentiable FK.
-Only the kinematics-relevant subset is parsed (joints: type/origin/axis/limits
-and the link graph); visual/collision/inertial elements are ignored.
+Parsed subset: joints (type/origin/axis/limits incl. effort), the link graph,
+and per-link ``<inertial>`` blocks (mass / COM origin / inertia tensor) —
+the inputs to inverse dynamics (``kinematics/dynamics.py``). Visual/collision
+geometry is ignored.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ class JointSpec:
     limit_lower: float | None = None
     limit_upper: float | None = None
     limit_velocity: float | None = None
+    limit_effort: float | None = None
 
     @property
     def actuated(self) -> bool:
@@ -31,10 +34,34 @@ class JointSpec:
 
 
 @dataclass(frozen=True)
+class InertialSpec:
+    """Per-link ``<inertial>``: mass, COM pose in the link frame, and the
+    symmetric inertia tensor about the COM expressed in the inertial frame."""
+
+    link: str
+    mass: float
+    com_xyz: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    com_rpy: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    ixx: float = 0.0
+    ixy: float = 0.0
+    ixz: float = 0.0
+    iyy: float = 0.0
+    iyz: float = 0.0
+    izz: float = 0.0
+
+
+@dataclass(frozen=True)
 class RobotModel:
     name: str
     joints: tuple[JointSpec, ...]
     links: tuple[str, ...] = field(default_factory=tuple)
+    inertials: tuple[InertialSpec, ...] = field(default_factory=tuple)
+
+    def inertial_for(self, link: str) -> InertialSpec | None:
+        for it in self.inertials:
+            if it.link == link:
+                return it
+        return None
 
     @property
     def root_link(self) -> str:
@@ -95,7 +122,47 @@ def parse_urdf(source: str) -> RobotModel:
                     if limit is not None and limit.get("velocity")
                     else None
                 ),
+                limit_effort=(
+                    float(limit.get("effort"))
+                    if limit is not None and limit.get("effort")
+                    else None
+                ),
             )
         )
     links = tuple(l.get("name") for l in root.findall("link"))
-    return RobotModel(name=root.get("name", "robot"), joints=tuple(joints), links=links)
+    inertials = []
+    for l in root.findall("link"):
+        inode = l.find("inertial")
+        if inode is None:
+            continue
+        origin = inode.find("origin")
+        mass = inode.find("mass")
+        inertia = inode.find("inertia")
+
+        def _i(attr):
+            if inertia is None or inertia.get(attr) is None:
+                return 0.0
+            return float(inertia.get(attr))
+
+        inertials.append(
+            InertialSpec(
+                link=l.get("name"),
+                mass=float(mass.get("value")) if mass is not None else 0.0,
+                com_xyz=_floats(
+                    origin.get("xyz") if origin is not None else None,
+                    (0.0, 0.0, 0.0),
+                ),
+                com_rpy=_floats(
+                    origin.get("rpy") if origin is not None else None,
+                    (0.0, 0.0, 0.0),
+                ),
+                ixx=_i("ixx"), ixy=_i("ixy"), ixz=_i("ixz"),
+                iyy=_i("iyy"), iyz=_i("iyz"), izz=_i("izz"),
+            )
+        )
+    return RobotModel(
+        name=root.get("name", "robot"),
+        joints=tuple(joints),
+        links=links,
+        inertials=tuple(inertials),
+    )

@@ -169,13 +169,55 @@ def test_urdf_parser_on_reference_asset():
 
     parsed = KinematicChain(model, dtype=jnp.float64)
     builtin = franka_panda(dtype=jnp.float64)
-    q = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, 7))
-    # compare the common EE frame
-    np.testing.assert_allclose(
-        np.asarray(parsed.fk(q)[parsed.link_names.index("ee_link")]),
-        np.asarray(builtin.fk(q)[builtin.link_names.index("ee_link")]),
-        atol=1e-9,
-    )
+    # EVERY link frame shared by both models, over several random q — a wrong
+    # embedded mid-chain offset cannot hide behind a correct EE frame
+    common = [n for n in builtin.link_names if n in parsed.link_names]
+    assert len(common) >= 8  # links 1-7 + ee at minimum
+    for seed in range(3):
+        q = jnp.asarray(np.random.default_rng(seed).uniform(-1, 1, 7))
+        fk_p = np.asarray(parsed.fk(q))
+        fk_b = np.asarray(builtin.fk(q))
+        for name in common:
+            np.testing.assert_allclose(
+                fk_p[parsed.link_names.index(name)],
+                fk_b[builtin.link_names.index(name)],
+                atol=1e-9,
+                err_msg=name,
+            )
+
+
+def test_urdf_parser_gripper_asset_all_links():
+    """Parse the GRIPPER panda.urdf and compare every common link frame
+    against the embedded PANDA_WITH_GRIPPER model (9 DOF incl. prismatic
+    fingers)."""
+    import os
+
+    path = "/root/reference/assets/franka_description/robots/panda.urdf"
+    if not os.path.exists(path):
+        pytest.skip("reference assets unavailable")
+    model = parse_urdf(path)
+    assert model.n_dofs == 9
+    from stoch_gpmp_tpu.kinematics.chain import KinematicChain
+
+    parsed = KinematicChain(model, dtype=jnp.float64)
+    builtin = franka_panda(dtype=jnp.float64, gripper=True)
+    common = [n for n in builtin.link_names if n in parsed.link_names]
+    assert "panda_leftfinger" in common and "panda_grasptarget" in common
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(
+            np.concatenate([rng.uniform(-1, 1, 7), rng.uniform(0, 0.04, 2)])
+        )
+        fk_p = np.asarray(parsed.fk(q))
+        fk_b = np.asarray(builtin.fk(q))
+        for name in common:
+            # atol: the asset's rpy strings truncate pi/2 at ~5e-12 rad
+            np.testing.assert_allclose(
+                fk_p[parsed.link_names.index(name)],
+                fk_b[builtin.link_names.index(name)],
+                atol=1e-9,
+                err_msg=name,
+            )
 
 
 def test_ik_converges_to_reachable_pose():
