@@ -149,7 +149,11 @@ def config_3():
     return {"config": "planar-512ppg", "particles": 1536, "value": ups, "iters_per_sec": ips}
 
 
-def _panda_problem(num_goals=1, ppg=5, traj_len=64, num_samples=32):
+def _panda_problem(num_goals=1, ppg=5, traj_len=64, num_samples=32, fast=True):
+    """``fast=True`` runs the TPU fast paths — the fused dense quadratic
+    (CostGP+CostGoalPrior as one MXU matmul) and the FK-in-kernel Pallas
+    field pass (PlaneFieldsCost) — exactly equal to the reference-shaped
+    stack (tested), optimized execution."""
     from stoch_gpmp_tpu.costs import (
         CostCollision, CostComposite, CostGP, CostGoal, CostGoalPrior,
         EESE3DistanceField, LinkDistanceField, LinkSelfDistanceField,
@@ -173,18 +177,40 @@ def _panda_problem(num_goals=1, ppg=5, traj_len=64, num_samples=32):
     )
     goals = jnp.concatenate([goals_q, jnp.zeros_like(goals_q)], axis=-1)
 
-    cost = CostComposite.create(
-        n_dof, traj_len,
-        [
-            CostGP.create(n_dof, traj_len, start_state, dt,
-                          {"sigma_start": 0.0001, "sigma_gp": 0.0007}, dtype=dtype),
-            CostGoalPrior.create(n_dof, traj_len, goals, sigma_goal_prior=20.0, dtype=dtype),
-            CostCollision.create(n_dof, traj_len, LinkSelfDistanceField(margin=0.03), sigma_coll=0.01),
-            CostCollision.create(n_dof, traj_len, LinkDistanceField(), sigma_coll=0.01),
-            CostGoal.create(n_dof, traj_len, EESE3DistanceField(target_h=target_h), sigma_goal=0.00007),
-        ],
-        fk=chain.fk_compact,  # positions+EE-rot only: ~4x less FK traffic
+    cost_gp = CostGP.create(n_dof, traj_len, start_state, dt,
+                            {"sigma_start": 0.0001, "sigma_gp": 0.0007}, dtype=dtype)
+    cost_goal_prior = CostGoalPrior.create(
+        n_dof, traj_len, goals, sigma_goal_prior=20.0, dtype=dtype
     )
+    if fast:
+        from stoch_gpmp_tpu.costs.fused_fields import PlaneFieldsCost
+        from stoch_gpmp_tpu.costs.quadratic import QuadraticCost
+
+        cost = CostComposite.create(
+            n_dof, traj_len,
+            [
+                QuadraticCost.from_gp_and_goal_prior(
+                    cost_gp, cost_goal_prior, traj_len
+                ),
+                PlaneFieldsCost.create(
+                    n_dof, traj_len, chain, target_h,
+                    margin=0.03, sigma_self=0.01, sigma_coll=0.01,
+                    sigma_goal=0.00007,
+                ),
+            ],
+        )
+    else:
+        cost = CostComposite.create(
+            n_dof, traj_len,
+            [
+                cost_gp,
+                cost_goal_prior,
+                CostCollision.create(n_dof, traj_len, LinkSelfDistanceField(margin=0.03), sigma_coll=0.01),
+                CostCollision.create(n_dof, traj_len, LinkDistanceField(), sigma_coll=0.01),
+                CostGoal.create(n_dof, traj_len, EESE3DistanceField(target_h=target_h), sigma_goal=0.00007),
+            ],
+            fk=chain.fk_compact,  # positions+EE-rot only: ~4x less FK traffic
+        )
     prior = make_gp_prior(n_dof, traj_len, dt, start_state, 0.001, 0.1,
                           sigma_goal=0.07, goal_states=goals, dtype=dtype)
     sampler = SamplerModel.from_prior(prior)

@@ -157,6 +157,24 @@ class KinematicChain:
         pruned; this perturbs poses by <1e-15 m.
         """
         batch = q.shape[:-1]
+        qs = [q[..., i] for i in range(self.n_dofs)]
+        out = self.fk_planes_from_scalars(qs)
+
+        def as_array(x):
+            if isinstance(x, float):
+                return jnp.full(batch, x, dtype=self.dtype)
+            return jnp.broadcast_to(x, batch).astype(self.dtype)
+
+        return out, as_array
+
+    def fk_planes_from_scalars(self, qs):
+        """The FK plane-composition core over a LIST of per-dof scalar values
+        (python floats or traced arrays of any common shape). Usable both from
+        the traced ``fk``/``fk_compact`` paths and from INSIDE a Pallas kernel
+        (pass ``[1, lanes]``-shaped refs-loaded planes; all emitted ops are
+        elementwise adds/muls/sin/cos). Returns a list of ``(r, p)`` entry
+        grids per selected link.
+        """
 
         # --- tiny scalar algebra over (python float | traced array) -------
         def is_const(x):
@@ -217,7 +235,7 @@ class KinematicChain:
                 for i in range(3)
             ]
             if joint.joint_type in ("revolute", "continuous"):
-                qj = q[..., self._dof_index[k]]
+                qj = qs[self._dof_index[k]]
                 c, s = jnp.cos(qj), jnp.sin(qj)
                 kx, ky, kz = (float(v) for v in self._axes[k])
                 one_c = 1.0 - c
@@ -241,7 +259,7 @@ class KinematicChain:
                 ]
                 r = compose(r, kmat)
             elif joint.joint_type == "prismatic":
-                qj = q[..., self._dof_index[k]]
+                qj = qs[self._dof_index[k]]
                 p = [
                     add(p[i], mul(qj, add(*(mul(r[i][m], float(self._axes[k][m]))
                                             for m in range(3)))))
@@ -252,12 +270,7 @@ class KinematicChain:
             frames[joint.child_link] = (r, p)
             out.append((r, p))
 
-        def as_array(x):
-            if is_const(x):
-                return jnp.full(batch, x, dtype=self.dtype)
-            return jnp.broadcast_to(x, batch).astype(self.dtype)
-
-        return [out[i] for i in self._out_idx], as_array
+        return [out[i] for i in self._out_idx]
 
     def fk(self, q: jnp.ndarray) -> jnp.ndarray:
         """All selected link poses: ``q [..., n_dofs] -> [..., L, 4, 4]``."""
@@ -310,6 +323,20 @@ class KinematicChain:
             axis=-2,
         )
         return LinkState(positions=positions, ee_rot=ee_rot)
+
+    def fk_scalar_planes(self, q: jnp.ndarray):
+        """Raw structure-of-arrays FK output: per selected link a ``(r, p)``
+        pair of entry grids (python-float constants or traced ``batch``-shaped
+        scalars) plus the ``as_array`` materializer.
+
+        This is the zero-materialization interface: consumers fold the FK
+        formulas directly into downstream math (e.g. distance-field sums,
+        ``costs/fused_fields.PlaneFieldsCost``) without ever stacking an
+        ``[..., L, 3]`` tensor — whose 3-wide minor dimension tiles terribly
+        on TPU (pads to 128 lanes) and dominated the Panda iteration time.
+        """
+        q = jnp.asarray(q, dtype=self.dtype)
+        return self._fk_planes(q)
 
     def ee_pose(self, q: jnp.ndarray) -> jnp.ndarray:
         """End-effector (last selected link) pose: ``[..., 4, 4]``."""

@@ -79,3 +79,98 @@ def test_fused_step_block_heuristic():
         assert pb % 8 == 0 or pb == p
         # one [PB*S, M] f32 buffer stays near the 1 MB budget (or PB == P)
         assert pb * s * m * 4 <= 2 * 1024 * 1024 or pb == p or nb == 1 or p % 8 != 0
+
+
+def test_plane_fields_matches_separate_costs():
+    """PlaneFieldsCost (FK fused into the field sums via scalar planes) is
+    exactly the separate self+obstacle+SE3 cost stack."""
+    from stoch_gpmp_tpu.costs import CostGoal
+    from stoch_gpmp_tpu.costs.fields import EESE3DistanceField
+    from stoch_gpmp_tpu.costs.fused_fields import PlaneFieldsCost
+    from stoch_gpmp_tpu.kinematics import homogeneous, y_rot, z_rot
+
+    trajs, x_full, _, obs = _setup(seed=2)
+    t = trajs.shape[1]
+    chain = franka_panda()
+    rot = z_rot(jnp.asarray(-np.pi, jnp.float32)) @ y_rot(jnp.asarray(-np.pi, jnp.float32))
+    th = homogeneous(rot, jnp.asarray([0.3, 0.3, 0.3], jnp.float32))
+    c_self = CostCollision.create(7, t, LinkSelfDistanceField(margin=0.03), sigma_coll=0.01)
+    c_coll = CostCollision.create(7, t, LinkDistanceField(), sigma_coll=0.02)
+    c_goal = CostGoal.create(7, t, EESE3DistanceField(target_h=th), sigma_goal=0.0007)
+    want = (
+        np.asarray(c_self.eval(trajs, x_trajs=x_full, observation=obs))
+        + np.asarray(c_coll.eval(trajs, x_trajs=x_full, observation=obs))
+        + np.asarray(c_goal.eval(trajs, x_trajs=x_full, observation=obs))
+    )
+    plane = PlaneFieldsCost.create(
+        7, t, chain, th, margin=0.03, sigma_self=0.01, sigma_coll=0.02,
+        sigma_goal=0.0007,
+    )
+    got = np.asarray(plane.eval(trajs, observation=obs))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_plane_fields_in_composite_planner_step():
+    """The plane cost drives an actual planner step (jitted) to the same
+    update as the separate-cost stack."""
+    import jax
+
+    from stoch_gpmp_tpu.costs import CostComposite, CostGoal, CostGP
+    from stoch_gpmp_tpu.costs.fields import EESE3DistanceField
+    from stoch_gpmp_tpu.costs.fused_fields import PlaneFieldsCost
+    from stoch_gpmp_tpu.gp.prior import make_gp_prior
+    from stoch_gpmp_tpu.kinematics import homogeneous
+    from stoch_gpmp_tpu.planners import SamplerModel, StochGPMPState, stoch_gpmp_step
+
+    dtype = jnp.float32
+    chain = franka_panda(dtype=dtype)
+    n_dof, t = 7, 12
+    dt = 0.05
+    start_q = jnp.asarray([0.0, -0.5, 0.0, -2.0, 0.0, 1.5, 0.7], dtype)
+    start = jnp.concatenate([start_q, jnp.zeros_like(start_q)])
+    goals = start[None] + 0.1
+    th = homogeneous(jnp.eye(3, dtype=dtype), jnp.asarray([0.3, 0.3, 0.3], dtype))
+    gp = CostGP.create(n_dof, t, start, dt, {"sigma_start": 1e-3, "sigma_gp": 0.1}, dtype=dtype)
+    c_self = CostCollision.create(n_dof, t, LinkSelfDistanceField(margin=0.03), sigma_coll=0.01)
+    c_coll = CostCollision.create(n_dof, t, LinkDistanceField(), sigma_coll=0.01)
+    c_goal = CostGoal.create(n_dof, t, EESE3DistanceField(target_h=th), sigma_goal=0.0007)
+    cost_ref = CostComposite.create(n_dof, t, [gp, c_self, c_coll, c_goal], fk=chain.fk_compact)
+    cost_plane = CostComposite.create(
+        n_dof, t,
+        [gp, PlaneFieldsCost.create(n_dof, t, chain, th, sigma_goal=0.0007)],
+    )
+    prior = make_gp_prior(n_dof, t, dt, start, 1e-3, 0.5, sigma_goal=0.1,
+                          goal_states=goals, dtype=dtype)
+    sampler = SamplerModel.from_prior(prior)
+    state = StochGPMPState(particle_means=prior.means, key=jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    spheres = jnp.asarray(rng.uniform(0.3, 0.7, (1, 5, 4)), dtype)
+    obs = {"obstacle_spheres": spheres}
+    run = jax.jit(lambda c, st: stoch_gpmp_step(
+        sampler, c, st, obs, num_samples=8, temperature=1.0, step_size=0.1))
+    s_ref, aux_ref = run(cost_ref, state)
+    s_pl, aux_pl = run(cost_plane, state)
+    np.testing.assert_allclose(
+        np.asarray(s_ref.particle_means), np.asarray(s_pl.particle_means),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_ref.costs), np.asarray(aux_pl.costs), rtol=2e-5
+    )
+
+
+def test_plane_fields_xla_fallback_matches_kernel_path():
+    from stoch_gpmp_tpu.costs.fused_fields import PlaneFieldsCost
+    from stoch_gpmp_tpu.kinematics import homogeneous
+
+    trajs, _, _, obs = _setup(seed=4)
+    t = trajs.shape[1]
+    chain = franka_panda()
+    th = homogeneous(jnp.eye(3, dtype=jnp.float32), jnp.asarray([0.3, 0.3, 0.3], jnp.float32))
+    a = PlaneFieldsCost.create(7, t, chain, th, use_pallas=True)
+    b = PlaneFieldsCost.create(7, t, chain, th, use_pallas=False)
+    np.testing.assert_allclose(
+        np.asarray(a.eval(trajs, observation=obs)),
+        np.asarray(b.eval(trajs, observation=obs)),
+        rtol=1e-6,
+    )
