@@ -55,16 +55,32 @@ def run_episode(seed: int, iters: int) -> dict:
     )
     goals = jnp.concatenate([q_goal, jnp.zeros_like(q_goal)])[None]
 
-    # obstacles away from start/goal (reference example spawn box)
+    # obstacles away from start/goal (reference example spawn box).
+    # random_init_static_sphere interpolates only ONE coordinate inside the
+    # box — the others are raw rand() draws (reference panda.py:54-58), so a
+    # sphere can legally spawn ON the robot's base column, making the episode
+    # unwinnable (seed 0 spawned 1.7 cm from the static link-1 origin).
+    # Rejection-resample such spawns, mirroring the reference map generator's
+    # retry pattern (map_generator.py:64-89).
+    start_links = np.asarray(chain.fk_compact(start_q).positions)  # [L, 3]
     spheres = np.zeros((1, 5, 4))
     for i in range(5):
-        r, pos = random_init_static_sphere(
-            0.1, 0.2, np.array([0.6, -0.2, 0.6]), np.array([1.0, 0.2, 1.0]), 0.01,
-            rng=rng,
-        )
+        for _ in range(50):
+            r, pos = random_init_static_sphere(
+                0.1, 0.2, np.array([0.6, -0.2, 0.6]), np.array([1.0, 0.2, 1.0]),
+                0.01, rng=rng,
+            )
+            clearance = np.linalg.norm(start_links - pos, axis=-1).min() - r
+            if clearance > 0.1:
+                break
         spheres[0, i, :3] = pos
         spheres[0, i, 3] = r
-    obs = {"obstacle_spheres": jnp.asarray(spheres, dtype=dtype)}
+    # plan against radius-inflated obstacles: the env flags contact when a
+    # link ORIGIN comes within radius + buffer (envs/panda_env.py), so the
+    # planner keeps a safety margin beyond the true surface
+    spheres_plan = spheres.copy()
+    spheres_plan[0, :, 3] += 0.05
+    obs = {"obstacle_spheres": jnp.asarray(spheres_plan, dtype=dtype)}
 
     cost = CostComposite.create(
         n_dof, traj_len,
@@ -88,10 +104,28 @@ def run_episode(seed: int, iters: int) -> dict:
     )
     planner.optimize(opt_iters=iters, observation=obs)
 
-    # pick the particle whose final EE is closest to the target
+    # collision-aware particle selection: among particles whose whole plan
+    # keeps every link clear of every (true-radius) obstacle with margin,
+    # pick the one whose final EE is closest to the target; fall back to the
+    # globally closest if none is clean
     means = np.asarray(planner.particle_means)
     ee = np.asarray(chain.ee_pose(jnp.asarray(means[:, -1, :n_dof])))
-    best = int(np.argmin(np.linalg.norm(ee[:, :3, 3] - target_pos, axis=-1)))
+    ee_dist = np.linalg.norm(ee[:, :3, 3] - target_pos, axis=-1)
+    link_pos = np.asarray(
+        chain.fk_compact(jnp.asarray(means[..., :n_dof])).positions
+    )  # [P, T, L, 3]
+    d = (
+        np.linalg.norm(
+            link_pos[..., None, :] - spheres[0, :, :3], axis=-1
+        )
+        - spheres[0, :, 3]
+    )  # [P, T, L, O] surface distances
+    clean = d.min(axis=(1, 2, 3)) > 0.03
+    if np.any(clean):
+        cand = np.where(clean)[0]
+        best = int(cand[np.argmin(ee_dist[cand])])
+    else:
+        best = int(np.argmin(ee_dist))
     plan_q = means[best, :, :n_dof]
 
     # closed-loop execution in the kinematic env with the same obstacles
