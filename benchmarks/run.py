@@ -240,7 +240,7 @@ def config_5():
         num_goals=10, ppg=128, traj_len=128, num_samples=8
     )
     ups, ips = _timed_updates_per_sec(
-        sampler, cost, state, obs, num_samples=s, opt_iters=20, n_chunks=2,
+        sampler, cost, state, obs, num_samples=s, opt_iters=50, n_chunks=3,
         step_size=0.1,
     )
     return {"config": "panda-scaling-10x128", "particles": 1280, "value": ups, "iters_per_sec": ips}

@@ -172,14 +172,17 @@ def stoch_gpmp_step(
 
     # --- softmax re-weighting and mean update (planner.py:263-275) ---
     weights = jax.nn.softmax(-costs / temperature, axis=1)  # over samples
-    grad = jnp.einsum("ps,psm->pm", weights, flat - means_flat[:, None]).reshape(
-        p, t, d
-    )
-    new_means = means + step_size * grad
+    # compute the update FLAT: an add in [P, T, d] shape invites a ~9x-padded
+    # layout; flat [P, M] reshapes cancel against the flat scan carry
+    grad_flat = jnp.einsum("ps,psm->pm", weights, flat - means_flat[:, None])
+    new_means = (means_flat + step_size * grad_flat).reshape(p, t, d)
 
     return (
         StochGPMPState(particle_means=new_means, key=key),
-        StochGPMPAux(samples=samples, costs=costs, weights=weights, grad=grad),
+        StochGPMPAux(
+            samples=samples, costs=costs, weights=weights,
+            grad=grad_flat.reshape(p, t, d),
+        ),
     )
 
 
@@ -203,11 +206,14 @@ def stoch_gpmp_optimize(
     final iteration's samples/costs, ``planner.py:289-317``). With
     ``collect_metrics`` also returns stacked per-iteration ``IterMetrics``."""
 
+    p, t, d = state.particle_means.shape
+
     def body(carry, _):
+        means_flat, key = carry
         new_state, aux = stoch_gpmp_step(
             sampler,
             cost,
-            carry,
+            StochGPMPState(particle_means=means_flat.reshape(p, t, d), key=key),
             observation,
             num_samples=num_samples,
             temperature=temperature,
@@ -217,9 +223,16 @@ def stoch_gpmp_optimize(
             sample_dtype=sample_dtype,
         )
         ys = IterMetrics.from_aux(aux, step_size) if collect_metrics else None
-        return new_state, ys
+        # carry the means FLAT: a [P, T, d] carry keeps the 14-wide minor dim,
+        # which tiles onto (8, 128) vregs with ~9x padding and made the carry
+        # handling itself a measurable cost (docs/PERFORMANCE.md round 2)
+        return (new_state.particle_means.reshape(p, t * d), new_state.key), ys
 
-    state, metrics = jax.lax.scan(body, state, None, length=opt_iters - 1)
+    (means_flat, key), metrics = jax.lax.scan(
+        body, (state.particle_means.reshape(p, t * d), state.key), None,
+        length=opt_iters - 1,
+    )
+    state = StochGPMPState(particle_means=means_flat.reshape(p, t, d), key=key)
     final_state, aux = stoch_gpmp_step(
         sampler,
         cost,
