@@ -2,7 +2,13 @@
 ``examples/planar_environment.py``): a 2-DOF point mass plans from a fixed
 start to 3 goals through a random 20x20 obstacle map.
 
-Run: ``python examples/planar_environment.py [--iters 500] [--fast] [--plot out.png]``
+Run: ``python examples/planar_environment.py [--iters 500] [--fast]
+[--plot out.png] [--animate out.gif] [--live]``
+
+``--animate`` saves the reference's live sample-cloud animation
+(``planar_environment.py:110-134``: red sample trajectories + blue means
+redrawn as optimization progresses) as a GIF; ``--live`` replays it in an
+interactive window (needs a display).
 """
 
 import argparse
@@ -30,6 +36,10 @@ def main():
     ap.add_argument("--seed", type=int, default=int(time.time()))
     ap.add_argument("--fast", action="store_true", help="fused quad cost + one-hot grid + hw RNG")
     ap.add_argument("--plot", type=str, default=None, help="save trajectory plot to this file")
+    ap.add_argument("--animate", type=str, default=None,
+                    help="save the optimization animation (gif) to this file")
+    ap.add_argument("--live", action="store_true",
+                    help="replay the animation in an interactive window")
     args = ap.parse_args()
 
     dtype = jnp.float32
@@ -94,11 +104,59 @@ def main():
     )
 
     start_time = time.time()
-    chunk = 50
+    record = args.animate or args.live
+    # the reference snapshots samples every 25 iterations for its live
+    # animation (planar_environment.py:105-111)
+    chunk = 25 if record else 50
+    traj_history = []
     for i in range(0, args.iters, chunk):
         t0 = time.time()
         _, _, _, _, costs, _ = planner.optimize(opt_iters=min(chunk, args.iters - i))
         print_info(i + chunk, args.iters, t0, start_time, np.asarray(costs))
+        if record:
+            pos, _ = planner.get_recent_samples()
+            traj_history.append(
+                (np.asarray(pos), np.asarray(planner.particle_means))
+            )
+
+    if record:
+        import matplotlib
+
+        if not args.live:
+            matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        x = np.linspace(-10, 10, obst_map.map.shape[1])
+        y = np.linspace(-10, 10, obst_map.map.shape[0])
+        g = np.asarray(multi_goal_states)
+        fig, ax = plt.subplots(figsize=(6, 6))
+
+        def draw(frame):
+            pos, means = traj_history[frame]
+            ax.clear()
+            ax.contourf(x, y, obst_map.map, 20)
+            for p in range(pos.shape[0]):
+                for s in range(0, pos.shape[1], max(1, pos.shape[1] // 8)):
+                    ax.plot(pos[p, s, :, 0], pos[p, s, :, 1], "r", alpha=0.15)
+            for p in range(means.shape[0]):
+                ax.plot(means[p, :, 0], means[p, :, 1], "b")
+            ax.plot(g[:, 0], g[:, 1], "g*", markersize=12)
+            ax.set_title(f"iteration {(frame + 1) * chunk}")
+
+        if args.animate:
+            from matplotlib.animation import FuncAnimation, PillowWriter
+
+            anim = FuncAnimation(fig, draw, frames=len(traj_history))
+            anim.save(args.animate, writer=PillowWriter(fps=4))
+            print(f"saved animation to {args.animate}")
+        if args.live:  # pragma: no cover - needs a display
+            plt.ion()
+            for f in range(len(traj_history)):
+                draw(f)
+                plt.draw()
+                plt.pause(0.1)
+            plt.ioff()
+            plt.show()
 
     if args.plot:
         import matplotlib

@@ -73,3 +73,37 @@ def generate_obstacle_map(
 
     obst_map.convert_map()
     return obst_map, obst_list
+
+
+if __name__ == "__main__":
+    # Self-check mirroring the reference's __main__ block
+    # (map_generator.py:95-125): fixed rect + circle, random extras, plot,
+    # and the collision costs along a straight line through the map center.
+    import jax.numpy as jnp
+
+    from stoch_gpmp_tpu.envs.obst_map import ObstacleCircle, ObstacleRectangle
+
+    obst_map, placed = generate_obstacle_map(
+        map_dim=(20, 20),
+        obst_list=[ObstacleRectangle(0, 0, 2, 3), ObstacleCircle(-5, -5, 1)],
+        cell_size=0.1,
+        random_gen=True,
+        num_obst=5,
+        rand_limits=[[-5, 5], [-5, 5]],
+        rand_rect_shape=[2, 2],
+        rand_circle_radius=1,
+        rng=2,
+    )
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        obst_map.plot(save_dir="/tmp", filename="obst_map_selfcheck.png")
+        print("map plot saved to /tmp/obst_map_selfcheck.png")
+    except Exception as e:  # pragma: no cover - plotting is best-effort
+        print(f"plotting skipped: {e}")
+
+    traj_y = jnp.linspace(-10.0, 10.0, 20)
+    traj_x = jnp.zeros_like(traj_y)
+    xy = jnp.stack([traj_x, traj_y], axis=1)
+    print("collision costs along x=0:", obst_map.get_collisions(xy))
