@@ -3,7 +3,12 @@
 random sphere obstacles, with FK + collision + self-collision + SE(3) goal
 costs. Everything native — built-in FK, native IK (no pybullet / external FK).
 
-Run: ``python examples/panda_environment.py [--iters 400] [--plot out.png]``
+Run: ``python examples/panda_environment.py [--iters 400] [--fast]
+[--plot out.png]``
+
+``--fast`` swaps in the TPU fast stack — the fused dense quadratic + the
+FK-in-kernel Pallas field pass (exactly equal values, ~2.5x faster; see
+docs/PERFORMANCE.md).
 """
 
 import argparse
@@ -35,6 +40,8 @@ def main():
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--seed", type=int, default=int(time.time()))
     ap.add_argument("--num-obst", type=int, default=5)
+    ap.add_argument("--fast", action="store_true",
+                    help="fused quadratic + FK-in-kernel Pallas fields")
     ap.add_argument("--plot", type=str, default=None)
     args = ap.parse_args()
 
@@ -63,26 +70,46 @@ def main():
     multi_goal_states = jnp.concatenate([q_goal, jnp.zeros_like(q_goal)])[None]
 
     # cost stack (reference sigma values)
-    panda_self_link = LinkSelfDistanceField(margin=0.03)
-    panda_collision_link = LinkDistanceField()
-    panda_goal = EESE3DistanceField(target_h=target_h)
-    cost = CostComposite.create(
-        n_dof,
-        traj_len,
-        [
-            CostGP.create(
-                n_dof, traj_len, start_state, dt,
-                {"sigma_start": 0.0001, "sigma_gp": 0.0007}, dtype=dtype,
-            ),
-            CostGoalPrior.create(
-                n_dof, traj_len, multi_goal_states, sigma_goal_prior=20.0, dtype=dtype
-            ),
-            CostCollision.create(n_dof, traj_len, panda_self_link, sigma_coll=0.01),
-            CostCollision.create(n_dof, traj_len, panda_collision_link, sigma_coll=0.01),
-            CostGoal.create(n_dof, traj_len, panda_goal, sigma_goal=0.00007),
-        ],
-        fk=chain.fk,
+    cost_gp = CostGP.create(
+        n_dof, traj_len, start_state, dt,
+        {"sigma_start": 0.0001, "sigma_gp": 0.0007}, dtype=dtype,
     )
+    cost_goal_prior = CostGoalPrior.create(
+        n_dof, traj_len, multi_goal_states, sigma_goal_prior=20.0, dtype=dtype
+    )
+    if args.fast:
+        from stoch_gpmp_tpu.costs.fused_fields import PlaneFieldsCost
+        from stoch_gpmp_tpu.costs.quadratic import QuadraticCost
+
+        cost = CostComposite.create(
+            n_dof, traj_len,
+            [
+                QuadraticCost.from_gp_and_goal_prior(
+                    cost_gp, cost_goal_prior, traj_len
+                ),
+                PlaneFieldsCost.create(
+                    n_dof, traj_len, chain, target_h, margin=0.03,
+                    sigma_self=0.01, sigma_coll=0.01, sigma_goal=0.00007,
+                    num_obstacles=args.num_obst,
+                ),
+            ],
+        )
+    else:
+        panda_self_link = LinkSelfDistanceField(margin=0.03)
+        panda_collision_link = LinkDistanceField()
+        panda_goal = EESE3DistanceField(target_h=target_h)
+        cost = CostComposite.create(
+            n_dof,
+            traj_len,
+            [
+                cost_gp,
+                cost_goal_prior,
+                CostCollision.create(n_dof, traj_len, panda_self_link, sigma_coll=0.01),
+                CostCollision.create(n_dof, traj_len, panda_collision_link, sigma_coll=0.01),
+                CostGoal.create(n_dof, traj_len, panda_goal, sigma_goal=0.00007),
+            ],
+            fk=chain.fk,
+        )
 
     planner = StochGPMP(
         num_particles_per_goal=num_particles_per_goal,
