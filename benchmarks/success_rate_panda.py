@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def run_episode(seed: int, iters: int) -> dict:
+def run_episode(seed: int, iters: int, physics: str = "kinematic") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -128,8 +128,8 @@ def run_episode(seed: int, iters: int) -> dict:
         best = int(np.argmin(ee_dist))
     plan_q = means[best, :, :n_dof]
 
-    # closed-loop execution in the kinematic env with the same obstacles
-    env = PandaEnv(num_obst=5, seed=seed, frequency=24)
+    # closed-loop execution in the env with the same obstacles
+    env = PandaEnv(num_obst=5, seed=seed, frequency=24, physics=physics)
     env.reset()
     env.panda.reset(q=np.asarray(start_q))
     for i, s in enumerate(env.spheres):
@@ -160,13 +160,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--physics", choices=["kinematic", "dynamics"], default="kinematic",
+                    help="arm stepping: velocity-limited tracker or computed-torque PD over RNEA forward dynamics")
     args = ap.parse_args()
-    results = [run_episode(s, args.iters) for s in range(args.seeds)]
+    results = [run_episode(s, args.iters, physics=args.physics) for s in range(args.seeds)]
     for r in results:
         print(json.dumps(r), flush=True)
     rate = float(np.mean([r["success"] for r in results]))
     print(json.dumps({
         "planner": "stoch_gpmp_tpu panda closed-loop",
+        "physics": args.physics,
         "success_rate": round(rate, 3),
         "episodes": len(results),
         "criterion": "EE within 0.125 m, no contact (reference envs/panda.py:489)",

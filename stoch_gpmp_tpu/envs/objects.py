@@ -72,14 +72,63 @@ class Sphere(DynamicBodyCore):
         self.base_position = self.base_position + self.base_linear_velocity * dt
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _shared_panda_dynamics():
+    from stoch_gpmp_tpu.kinematics.panda_model import panda_dynamics
+
+    return panda_dynamics()
+
+
+@functools.lru_cache(maxsize=8)
+def _panda_integrators(kp, kd, effort, vel, lo, hi):
+    """Jitted computed-torque-PD and torque-mode steppers, cached across
+    ``Panda`` instances (tracing the 8 RNEA passes of ``mass_matrix`` is
+    expensive; all instances of one gain/limit set share a compilation)."""
+    dyn = _shared_panda_dynamics()
+    effort = jnp.asarray(effort)
+    vel = jnp.asarray(vel)
+    lo = jnp.asarray(lo)
+    hi = jnp.asarray(hi)
+
+    def integrate(q, dq, qdd, dt):
+        dq2 = jnp.clip(dq + qdd * dt, -vel, vel)
+        q2 = jnp.clip(q + dq2 * dt, lo, hi)
+        return q2, dq2
+
+    @jax.jit
+    def tau_step(q, dq, tau, dt):
+        m = dyn.mass_matrix(q)
+        h = dyn.bias_forces(q, dq)
+        qdd = jnp.linalg.solve(m, (tau - h)[..., None])[..., 0]
+        return integrate(q, dq, qdd, dt)
+
+    @jax.jit
+    def pd_step(q, dq, q_target, dt):
+        # computed-torque PD: tau = M(q)(kp e - kd dq) + h(q, dq), clamped
+        # to the joint effort limits, then forward dynamics under the clamp
+        m = dyn.mass_matrix(q)
+        h = dyn.bias_forces(q, dq)
+        qdd_des = kp * (q_target - q) - kd * dq
+        tau = jnp.clip(m @ qdd_des + h, -effort, effort)
+        qdd = jnp.linalg.solve(m, (tau - h)[..., None])[..., 0]
+        return integrate(q, dq, qdd, dt)
+
+    return pd_step, tau_step
+
+
 class Panda:
-    """Kinematic Panda arm: joint state, velocity-limited position tracking,
-    FK-backed EE pose, native IK (reference ``objects.py:184-368`` API
-    surface without the bullet client)."""
+    """Kinematic Panda arm: joint state, velocity-limited position tracking
+    (or computed-torque PD over the native rigid-body dynamics with
+    ``use_dynamics=True``), FK-backed EE pose, native IK (reference
+    ``objects.py:184-368`` API surface without the bullet client)."""
 
     HOME = np.asarray([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785])
 
-    def __init__(self, dtype=jnp.float64):
+    def __init__(self, dtype=jnp.float64, use_dynamics: bool = False,
+                 kp: float = 400.0, kd: float | None = None):
         self.chain = franka_panda(dtype=dtype)
         self.dof = self.chain.n_dofs
         self.jl_lower = np.asarray(self.chain.limits_lower)
@@ -87,15 +136,22 @@ class Panda:
         self.velocity_limit = np.asarray(self.chain.limits_velocity)
         # effort limits from the reference asset (87 Nm joints 1-4, 12 Nm 5-7)
         self.effort_limit = np.array([87.0, 87.0, 87.0, 87.0, 12.0, 12.0, 12.0])
+        # Position control through the rigid-body dynamics: a computed-torque
+        # PD motor (the native analogue of bullet's POSITION_CONTROL
+        # constraint motor the reference drives at objects.py:294-304),
+        # critically damped by default.
+        self.use_dynamics = bool(use_dynamics)
+        self.kp = float(kp)
+        self.kd = float(kd) if kd is not None else 2.0 * float(np.sqrt(kp))
         self._dynamics = None  # built on first dynamics call
+        self._pd_step = None  # jitted computed-torque stepper
+        self._tau_step = None  # jitted torque-mode stepper
         self.reset()
 
     @property
     def dynamics(self):
         if self._dynamics is None:
-            from stoch_gpmp_tpu.kinematics.panda_model import panda_dynamics
-
-            self._dynamics = panda_dynamics()
+            self._dynamics = _shared_panda_dynamics()
         return self._dynamics
 
     def reset(self, q=None):
@@ -121,26 +177,45 @@ class Panda:
     def step(self, dt: float):
         if self.control_mode == "torque":
             return self._step_torque(dt)
+        if self.use_dynamics:
+            return self._step_position_dynamics(dt)
         # First-order tracking toward the target under velocity limits
-        # (kinematic stand-in for the reference's PD position control).
+        # (kinematic fast path; ``use_dynamics=True`` replaces it with the
+        # computed-torque PD motor over the rigid-body forward dynamics).
         err = self.target_joint_positions - self.q
         max_step = self.velocity_limit * dt
         dq = np.clip(err, -max_step, max_step)
         self.q = self.q + dq
         self.dq = dq / dt if dt > 0 else np.zeros_like(dq)
 
+    def _integrators(self):
+        """Jitted semi-implicit-Euler steppers (shared across instances)."""
+        if self._tau_step is None:
+            self._pd_step, self._tau_step = _panda_integrators(
+                self.kp, self.kd,
+                tuple(self.effort_limit), tuple(self.velocity_limit),
+                tuple(self.jl_lower), tuple(self.jl_upper),
+            )
+        return self._pd_step, self._tau_step
+
+    def _step_position_dynamics(self, dt: float):
+        """Computed-torque PD position motor over the forward dynamics."""
+        pd_step, _ = self._integrators()
+        q, dq = pd_step(
+            jnp.asarray(self.q), jnp.asarray(self.dq),
+            jnp.asarray(self.target_joint_positions), dt,
+        )
+        self.q, self.dq = np.asarray(q), np.asarray(dq)
+
     def _step_torque(self, dt: float):
         """Semi-implicit Euler under the commanded torques:
         ``qdd = M(q)^{-1}(tau - h(q, qd))`` via RNEA."""
-        qdd = np.asarray(
-            self.dynamics.forward_dynamics(
-                jnp.asarray(self.q), jnp.asarray(self.dq), jnp.asarray(self.target_torques)
-            )
+        _, tau_step = self._integrators()
+        q, dq = tau_step(
+            jnp.asarray(self.q), jnp.asarray(self.dq),
+            jnp.asarray(self.target_torques), dt,
         )
-        self.dq = np.clip(
-            self.dq + qdd * dt, -self.velocity_limit, self.velocity_limit
-        )
-        self.q = np.clip(self.q + self.dq * dt, self.jl_lower, self.jl_upper)
+        self.q, self.dq = np.asarray(q), np.asarray(dq)
 
     def getJointStates(self):
         return list(self.q), list(self.dq)

@@ -1,10 +1,13 @@
-"""Closed-loop Panda simulation environment (native, kinematic).
+"""Closed-loop Panda simulation environment (native, no physics engine).
 
 Capability parity with reference ``stoch_gpmp/envs/panda.py`` (``PandaEnv``,
 sphere spawn/bounce helpers) without the PyBullet engine: the arm tracks
-position targets kinematically under its velocity limits, spheres integrate
-and bounce inside their box, and the contact / goal / reward / trajectory-
-buffer semantics mirror the reference:
+position targets either kinematically under its velocity limits (default) or
+through the native rigid-body dynamics (``physics="dynamics"``: computed-
+torque PD motor + RNEA forward dynamics, the analogue of bullet's
+POSITION_CONTROL constraint motor), spheres integrate and bounce inside
+their box, and the contact / goal / reward / trajectory-buffer semantics
+mirror the reference:
 
 - collision = floor contact OR self-collision OR obstacle contact
   (reference ``panda.py:453-481``; here via the native distance fields);
@@ -201,7 +204,15 @@ class PandaEnv:
         self._max_buffer_len = int(kwargs.get("buffer_length", 1000))
         self._init_buffer()
 
-        self.panda = Panda()
+        # ``physics="dynamics"``: the arm's position targets drive a
+        # computed-torque PD motor over the native rigid-body forward
+        # dynamics (RNEA) — the closest native analogue of the reference's
+        # bullet POSITION_CONTROL + stepSimulation. ``"kinematic"`` (default)
+        # is the fast velocity-limited tracker.
+        physics = kwargs.get("physics", "kinematic")
+        if physics not in ("kinematic", "dynamics"):
+            raise ValueError(f"unknown physics mode: {physics!r}")
+        self.panda = Panda(use_dynamics=(physics == "dynamics"))
         self._self_field = LinkSelfDistanceField(margin=0.03)
         self._obst_field = LinkDistanceField()
         self._obstacles = {"spheres": [], "boxes": []}
