@@ -215,6 +215,12 @@ class PandaEnv:
         self.panda = Panda(use_dynamics=(physics == "dynamics"))
         self._self_field = LinkSelfDistanceField(margin=0.03)
         self._obst_field = LinkDistanceField()
+        # Obstacle contact is checked on link origins PLUS interpolated
+        # points along the long forearm segments (the reference's bullet
+        # ``getClosestPoints`` sees whole meshes, not frame origins;
+        # interpolation range mirrors the reference field default
+        # ``link_interpolate_range=[5, 7]``, fields.py:32).
+        self._contact_interpolate = int(kwargs.get("contact_interpolate", 2))
         self._obstacles = {"spheres": [], "boxes": []}
         self._rng = np.random.default_rng(self._seed)
         self._init_spheres()
@@ -393,11 +399,20 @@ class PandaEnv:
             spheres = np.stack(
                 [np.concatenate([s.base_position, [s.scale]]) for s in self.spheres]
             )
-            hit = self._obst_field.compute_collision(
-                lp, obstacle_spheres=jnp.asarray(spheres)[None],
-                buffer=self.max_obs_dist + 0.02,
+            pts = link_poses[:, :3, 3]  # [L, 3]
+            if self._contact_interpolate > 0:
+                from stoch_gpmp_tpu.costs.fields import _interpolate_links
+
+                pts = np.asarray(
+                    _interpolate_links(
+                        jnp.asarray(pts), self._contact_interpolate, (5, 7)
+                    )
+                )
+            d = (
+                np.linalg.norm(pts[:, None, :] - spheres[None, :, :3], axis=-1)
+                - spheres[None, :, 3]
             )
-            if bool(hit[0]):
+            if bool(np.any(d < self.max_obs_dist + 0.02)):
                 return True
         return False
 

@@ -250,3 +250,22 @@ def test_dynamics_mode_energy_dissipation():
     # energy); allow a small integration-error envelope
     assert energy() <= e0 + 0.5
     assert np.all(np.isfinite(panda.q)) and np.all(np.isfinite(panda.dq))
+
+
+def test_contact_interpolation_catches_mid_segment_sphere():
+    """A small sphere centered on the MIDPOINT of the forearm segment
+    (between link-6 and link-7 origins) misses the origin-only check but is
+    caught by the interpolated contact points (the mesh-contact analogue)."""
+    import jax.numpy as jnp
+
+    env = PandaEnv(num_obst=1, seed=0, contact_interpolate=2)
+    env_origins_only = PandaEnv(num_obst=1, seed=0, contact_interpolate=0)
+    lp = env.panda.link_poses()
+    mid = 0.5 * (lp[5, :3, 3] + lp[6, :3, 3])
+    for e in (env, env_origins_only):
+        s = e.spheres[0]
+        s.base_position = np.asarray(mid)
+        s.scale = 0.02  # too small to reach either origin
+        s.base_linear_velocity = np.zeros(3)
+    assert env._check_contact()
+    assert not env_origins_only._check_contact()
