@@ -225,11 +225,59 @@ def _panda_problem(num_goals=1, ppg=5, traj_len=64, num_samples=32, fast=True):
     return sampler, cost, state, obs, num_samples
 
 
+def _timed_fused_panda(ppg=5, num_samples=32, opt_iters=500, n_chunks=1):
+    """Panda-parity throughput via the fully-fused Pallas iteration kernel
+    (TPU-only; returns None elsewhere so callers fall back to the XLA path)."""
+    if jax.default_backend() != "tpu":
+        return None
+    from stoch_gpmp_tpu.ops.pallas.panda_step import (
+        fused_panda_optimize,
+        make_fused_panda_step,
+    )
+
+    sampler, cost, state, obs, s = _panda_problem(
+        num_goals=1, ppg=ppg, num_samples=num_samples
+    )
+    quad, fields = cost.costs
+    p = state.particle_means.shape[0]
+    b_per_p = jnp.repeat(quad.b, p // quad.num_goals, axis=0)
+    step = make_fused_panda_step(
+        chain=fields.chain, weight_t=sampler.weight_t, a_dense=quad.a_dense,
+        b=b_per_p, precision_dense=sampler.precision_dense,
+        spheres=obs["obstacle_spheres"],
+        target_h=np.asarray(fields.target_h, dtype=np.float64),
+        n_dof=7, traj_len=64, num_samples=num_samples, margin=fields.margin,
+        w_self=1.0 / fields.sigma_self**2, w_obst=1.0 / fields.sigma_coll**2,
+        w_goal=1.0 / fields.sigma_goal**2, temperature=1.0, step_size=0.1,
+    )
+    run = jax.jit(lambda m, k: fused_panda_optimize(step, m, k, opt_iters))
+    m1, k1 = run(state.particle_means, state.key)
+    _ = np.asarray(m1)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        m1, k1 = run(m1, k1)
+    final = np.asarray(m1)
+    elapsed = time.perf_counter() - t0
+    assert np.all(np.isfinite(final))
+    iters = n_chunks * opt_iters
+    return p * iters / elapsed, iters / elapsed
+
+
 def config_4():
-    """panda parity: 1 goal x 5 particles, T=64, S=32, 5 sphere obstacles."""
+    """panda parity: 1 goal x 5 particles, T=64, S=32, 5 sphere obstacles.
+
+    Runs the XLA flat fast stack: an A/B against the fully-fused Pallas
+    iteration (``_timed_fused_panda``) measured them AT PAR (36.4 vs 39.5
+    us/iter at 5000 amortized iterations) — at this scale the workload is
+    matmul-dominated and XLA's cross-iteration pipelining of the separate
+    stages matches the monolithic kernel; the fused kernel remains a tested
+    alternative (tests/test_fused_panda_tpu.py). Deep amortization: the
+    ~25 ms tunnel readback costs 17 us/iter at 1500 iters (see the config-5
+    under-amortization note in docs/PERFORMANCE.md)."""
     sampler, cost, state, obs, s = _panda_problem(num_goals=1, ppg=5)
     ups, ips = _timed_updates_per_sec(
-        sampler, cost, state, obs, num_samples=s, opt_iters=500, step_size=0.1
+        sampler, cost, state, obs, num_samples=s, opt_iters=1000, n_chunks=5,
+        step_size=0.1,
     )
     return {"config": "panda-parity", "particles": 5, "value": ups, "iters_per_sec": ips}
 

@@ -38,6 +38,30 @@ def _interpret() -> bool:
 TWO_PI = 6.283185307179586
 
 
+def _box_muller(n: int, m: int) -> jnp.ndarray:
+    """``[n, m]`` standard normals from the seeded hardware PRNG.
+
+    Uses BOTH Box-Muller outputs (``r cos`` and ``r sin`` land in different
+    row halves — a fixed assignment of iid draws), halving the PRNG traffic
+    and the log/sqrt work. Top 24 bits as non-negative int32 (Mosaic lacks
+    uint32->f32); ``u1`` offset into (0, 1] avoids log(0).
+    """
+    rows = n // 2 if n % 2 == 0 else n
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits((rows, m)), jnp.int32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits((rows, m)), jnp.int32)
+    u1 = jax.lax.shift_right_logical(bits1, 8).astype(jnp.float32) * (
+        1.0 / 16777216.0
+    ) + (0.5 / 16777216.0)
+    u2 = jax.lax.shift_right_logical(bits2, 8).astype(jnp.float32) * (
+        1.0 / 16777216.0
+    )
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = TWO_PI * u2
+    if n % 2 == 0:
+        return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+    return r * jnp.cos(theta)
+
+
 def _kernel(
     seed_ref,  # [1, 1, 2] int32
     mean_ref,  # [1, 1, M] (3D so Mosaic's last-two-dims tiling rule holds)
@@ -71,15 +95,7 @@ def _kernel(
 
     # --- 1. in-kernel N(0,1) via hardware PRNG + Box-Muller ---------------
     pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
-    # take the top 24 bits as non-negative int32 (Mosaic lacks uint32->f32)
-    bits1 = pltpu.bitcast(pltpu.prng_random_bits((s, m)), jnp.int32)
-    bits2 = pltpu.bitcast(pltpu.prng_random_bits((s, m)), jnp.int32)
-    i1 = jax.lax.shift_right_logical(bits1, 8)
-    i2 = jax.lax.shift_right_logical(bits2, 8)
-    # uniform in (0, 1]: offset avoids log(0)
-    u1 = i1.astype(jnp.float32) * (1.0 / 16777216.0) + (0.5 / 16777216.0)
-    u2 = i2.astype(jnp.float32) * (1.0 / 16777216.0)
-    eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
+    eps = _box_muller(s, m)
 
     # --- 2. samples ---------------------------------------------------------
     x = mean + jnp.dot(eps, w_ref[:], preferred_element_type=jnp.float32)
@@ -297,13 +313,7 @@ def _kernel_batched(
     m = means_ref.shape[-1]
 
     pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
-    bits1 = pltpu.bitcast(pltpu.prng_random_bits((n, m)), jnp.int32)
-    bits2 = pltpu.bitcast(pltpu.prng_random_bits((n, m)), jnp.int32)
-    u1 = jax.lax.shift_right_logical(bits1, 8).astype(jnp.float32) * (
-        1.0 / 16777216.0
-    ) + (0.5 / 16777216.0)
-    u2 = jax.lax.shift_right_logical(bits2, 8).astype(jnp.float32) * (1.0 / 16777216.0)
-    eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
+    eps = _box_muller(n, m)
 
     # per-row particle replication of means/b/prec_u via static row blocks
     corr = jnp.dot(eps, w_ref[:], preferred_element_type=jnp.float32)  # [N, M]
