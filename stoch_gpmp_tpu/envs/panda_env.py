@@ -473,3 +473,16 @@ class PandaEnv:
                 self._buffer_goal_counter += 1
         if self._buffer_idx >= self._max_buffer_len:
             self._buffer_idx = 0
+
+
+if __name__ == "__main__":
+    # Smoke sim loop (reference ``envs/panda.py:680-684`` runs an unbounded
+    # rendered loop; here bounded and headless).
+    env = PandaEnv(render=True, num_obst=3, seed=0, motion_obstacles=2)
+    env.reset()
+    for _ in range(200):
+        env.step()
+    print(
+        f"t={env.t_step} contact={env.is_contact} "
+        f"spheres={[list(np.round(s.base_position, 3)) for s in env.spheres]}"
+    )
