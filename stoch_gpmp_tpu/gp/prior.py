@@ -28,7 +28,11 @@ import jax.numpy as jnp
 from flax import struct
 
 from stoch_gpmp_tpu.gp.lift import phi_matrix, q_inv_block, unary_weight
-from stoch_gpmp_tpu.gp.tridiag import BlockBidiagChol, BlockTridiag
+from stoch_gpmp_tpu.gp.tridiag import (
+    BlockBidiagChol,
+    BlockTridiag,
+    ParallelBidiagSolver,
+)
 
 
 def build_precision(
@@ -116,6 +120,9 @@ class GPPrior:
     precision: BlockTridiag
     chol: BlockBidiagChol
     weight_t: jnp.ndarray | None  # dense L^{-1}, or None in long-horizon mode
+    # parallel-in-time solver (built in long-horizon mode): associative-scan
+    # triangular solves, O(log T) depth — the sequence-parallel sampling path
+    psolver: ParallelBidiagSolver | None = None
 
     @property
     def num_modes(self) -> int:
@@ -139,15 +146,21 @@ class GPPrior:
 
         ``method='dense'``: one batched matmul against the materialized
         ``L^{-T}`` (MXU path; requires ``materialize_dense``).
-        ``method='scan'``: structured backward substitution (O(T d^2) per
-        sample; the long-horizon path). ``'auto'`` picks dense when available.
+        ``method='scan'``: structured backward substitution (sequential
+        ``lax.scan``, O(T) depth).
+        ``method='pscan'``: parallel-in-time associative-scan substitution
+        (O(log T) depth; the long-horizon default).
+        ``'auto'`` picks dense when available, else pscan.
         """
         t, d = self.traj_len, self.state_dim
         eps = jax.random.normal(
             key, (self.num_modes, num_samples, t, d), dtype=self.means.dtype
         )
         if method == "auto":
-            method = "dense" if self.weight_t is not None else "scan"
+            if self.weight_t is not None:
+                method = "dense"
+            else:
+                method = "pscan" if self.psolver is not None else "scan"
         if method == "dense":
             if self.weight_t is None:
                 raise ValueError("dense sampling requires materialize_dense=True")
@@ -155,6 +168,12 @@ class GPPrior:
             corr = (flat @ self.weight_t).reshape(self.num_modes, num_samples, t, d)
         elif method == "scan":
             corr = self.chol.solve_LT(eps)
+        elif method == "pscan":
+            solver = (
+                self.psolver if self.psolver is not None
+                else ParallelBidiagSolver.from_chol(self.chol)
+            )
+            corr = solver.solve_LT(eps)
         else:
             raise ValueError(f"unknown sampling method: {method}")
         return self.means[:, None] + corr
@@ -219,10 +238,12 @@ def make_gp_prior(
         dof, traj_len, dt, k_s_inv, q_inv, k_g_inv=k_g_inv, dtype=dtype
     )
     chol = precision.cholesky()
+    psolver = None
     if materialize_dense:
         weight_t = chol.dense_inv_transpose().T  # [M, M] = L^{-1}
     else:
         weight_t = None
+        psolver = ParallelBidiagSolver.from_chol(chol)
 
     if means is None:
         means = const_vel_means(
@@ -235,4 +256,7 @@ def make_gp_prior(
     else:
         means = jnp.asarray(means, dtype=dtype).reshape(-1, traj_len, d)
 
-    return GPPrior(means=means, precision=precision, chol=chol, weight_t=weight_t)
+    return GPPrior(
+        means=means, precision=precision, chol=chol, weight_t=weight_t,
+        psolver=psolver,
+    )

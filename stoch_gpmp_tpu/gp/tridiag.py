@@ -223,3 +223,144 @@ def _scatter_blocks(dense, blocks, rows, cols, d):
     dense = dense.reshape(t, d, t, d)
     dense = dense.at[rows, :, cols, :].set(blocks)
     return dense.reshape(t * d, t * d)
+
+
+# --------------------------------------------------------------------------- #
+# Parallel-in-time triangular solves (associative scan over the horizon)
+# --------------------------------------------------------------------------- #
+
+
+def _affine_assoc_scan(a_planes, c_planes, d):
+    """Prefix-compose the affine recurrence ``y_t = A_t y_{t-1} + c_t`` over
+    the LAST axis of the ``[.., T]``-shaped planes via
+    ``jax.lax.associative_scan`` — O(log T) depth instead of a T-step scan.
+
+    ``a_planes``: tuple of d*d arrays ``[1, T]`` (entry (i, j) at i*d+j;
+    batch-independent). ``c_planes``: tuple of d arrays ``[B, T]``. With
+    ``A_0 = 0`` the t-th prefix's offset IS the solution ``y_t``.
+
+    The combine — composition ``(A2, c2) . (A1, c1) = (A2 A1, A2 c1 + c2)``
+    — is unrolled into elementwise plane multiplies: a ``[.., T, d, d]``
+    matmul-based scan would put the d-wide dims minor on TPU tiles (8-42x
+    padding) and dispatch batched tiny matmuls (the known MXU trap); planes
+    keep every op a full-width VPU elementwise op.
+    """
+
+    def combine(e1, e2):
+        a1, c1 = e1
+        a2, c2 = e2
+        a = tuple(
+            sum(a2[i * d + k] * a1[k * d + j] for k in range(d))
+            for i in range(d)
+            for j in range(d)
+        )
+        c = tuple(
+            sum(a2[i * d + k] * c1[k] for k in range(d)) + c2[i]
+            for i in range(d)
+        )
+        return (a, c)
+
+    _, out_c = jax.lax.associative_scan(combine, (a_planes, c_planes), axis=-1)
+    return out_c
+
+
+@struct.dataclass
+class ParallelBidiagSolver:
+    """Parallel-in-time (sequence-parallel) solves for a ``BlockBidiagChol``.
+
+    The sequential ``solve_L``/``solve_LT`` scans are affine recurrences
+    ``y_t = A_t y_{t∓1} + D_t^{-(T)} b_t`` whose transition matrices depend
+    only on the factor — precomputed here once — so each solve becomes an
+    associative scan of affine-map compositions: O(log T) depth, all
+    elementwise plane math (see ``_affine_assoc_scan``). This is the
+    "long-context" axis of the framework (SURVEY.md §5): the reference pays
+    O(T^3) dense Cholesky per iteration, the sequential structured path
+    O(T) depth, this path O(log T).
+    """
+
+    dinv: jnp.ndarray  # [T, d, d] = D_t^{-1} (lower-triangular)
+    a_fwd: jnp.ndarray  # [T, d, d]: A_0 = 0, A_t = -D_t^{-1} L_t
+    a_bwd: jnp.ndarray  # [T, d, d]: A_{T-1} = 0, A_t = -D_t^{-T} L_{t+1}^T
+
+    @property
+    def num_blocks(self) -> int:
+        return self.dinv.shape[0]
+
+    @property
+    def block_dim(self) -> int:
+        return self.dinv.shape[-1]
+
+    @classmethod
+    def from_chol(cls, chol: BlockBidiagChol) -> "ParallelBidiagSolver":
+        d = chol.block_dim
+        eye = jnp.eye(d, dtype=chol.diag.dtype)
+        dinv = jax.vmap(lambda m: solve_triangular(m, eye, lower=True))(chol.diag)
+        zero = jnp.zeros((1, d, d), dtype=chol.diag.dtype)
+        if chol.num_blocks == 1:
+            return cls(dinv=dinv, a_fwd=zero, a_bwd=zero)
+        a_fwd = jnp.concatenate(
+            [zero, -jnp.einsum("tij,tjk->tik", dinv[1:], chol.lower)], axis=0
+        )
+        a_bwd = jnp.concatenate(
+            [-jnp.einsum("tji,tkj->tik", dinv[:-1], chol.lower), zero], axis=0
+        )
+        return cls(dinv=dinv, a_fwd=a_fwd, a_bwd=a_bwd)
+
+    # ------------------------------------------------------------------ #
+    def _planes(self, b):
+        """``b [..., T, d]`` -> (batch_shape, tuple_d of ``[B, T]``)."""
+        batch_shape = b.shape[:-2]
+        t, d = b.shape[-2], b.shape[-1]
+        flat = b.reshape(-1, t, d)
+        return batch_shape, tuple(flat[..., i] for i in range(d))
+
+    def _unplanes(self, planes, batch_shape):
+        t = planes[0].shape[-1]
+        out = jnp.stack(planes, axis=-1)  # [B, T, d]
+        return out.reshape(*batch_shape, t, self.block_dim)
+
+    def _apply_tri(self, mats, planes, *, trans):
+        """Planes of ``D_t^{-1} b_t`` (or transposed) — unrolled, skipping
+        the triangle of structural zeros."""
+        d = self.block_dim
+        out = []
+        for i in range(d):
+            acc = None
+            for j in range(d):
+                lo, hi = (j, i) if trans else (i, j)
+                if lo < hi:  # upper triangle of a lower-triangular matrix
+                    continue
+                term = mats[:, lo, hi][None, :] * planes[j]
+                acc = term if acc is None else acc + term
+            out.append(acc)
+        return tuple(out)
+
+    def _a_planes(self, a):
+        d = self.block_dim
+        return tuple(
+            a[:, i, j][None, :] for i in range(d) for j in range(d)
+        )
+
+    def solve_L(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Forward substitution ``L y = b``, parallel in time."""
+        batch_shape, b_planes = self._planes(b)
+        c = self._apply_tri(self.dinv, b_planes, trans=False)
+        y = _affine_assoc_scan(self._a_planes(self.a_fwd), c, self.block_dim)
+        return self._unplanes(y, batch_shape)
+
+    def solve_LT(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Backward substitution ``L^T y = b``, parallel in time (the
+        sampling hot path: ``x = mu + L^{-T} eps``)."""
+        batch_shape, b_planes = self._planes(b)
+        c = self._apply_tri(self.dinv, b_planes, trans=True)
+        # reversed time turns the backward recurrence into a forward one
+        c_rev = tuple(jnp.flip(p, axis=-1) for p in c)
+        a_rev = tuple(
+            jnp.flip(p, axis=-1) for p in self._a_planes(self.a_bwd)
+        )
+        y_rev = _affine_assoc_scan(a_rev, c_rev, self.block_dim)
+        y = tuple(jnp.flip(p, axis=-1) for p in y_rev)
+        return self._unplanes(y, batch_shape)
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.solve_LT(self.solve_L(b))

@@ -276,7 +276,9 @@ class GPMP:
                 eps.reshape(p, -1, t * d) @ self._sample_prior.weight_t
             ).reshape(p, -1, t, d)
         else:  # long-horizon mode: structured O(T d^2) backward substitution
-            corr = self._sample_prior.chol.solve_LT(eps)
+            pr = self._sample_prior
+            solver = pr.psolver if pr.psolver is not None else pr.chol
+            corr = solver.solve_LT(eps)
         samples = means[:, None] + corr
         n = self.n_dof
         return samples[..., :n], samples[..., n:]

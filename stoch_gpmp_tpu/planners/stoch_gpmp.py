@@ -51,6 +51,9 @@ class SamplerModel:
     chol: BlockBidiagChol
     weight_t: jnp.ndarray | None  # [M, M] = L^{-1}; samples = eps @ weight_t
     precision_dense: jnp.ndarray | None  # [M, M]
+    # long-horizon mode: parallel-in-time (associative-scan) solver for the
+    # sampling substitution — O(log T) depth vs the sequential scan's O(T)
+    psolver: object | None = None
 
     @classmethod
     def from_prior(cls, prior: GPPrior) -> "SamplerModel":
@@ -60,6 +63,7 @@ class SamplerModel:
             chol=prior.chol,
             weight_t=prior.weight_t,
             precision_dense=prior.precision.to_dense() if dense else None,
+            psolver=prior.psolver,
         )
 
 
@@ -145,8 +149,10 @@ def stoch_gpmp_step(
         )
     if sample_method == "dense" and sampler.weight_t is not None:
         corr = (eps @ sampler.weight_t.astype(eps_dtype)).astype(means.dtype)
-    else:  # long-horizon / explicit scan path: O(T d^2) structured solve
-        corr = sampler.chol.solve_LT(
+    else:  # long-horizon / explicit scan path: structured solve — parallel
+        # in time (O(log T) associative scan) when the solver was built
+        solver = sampler.psolver if sampler.psolver is not None else sampler.chol
+        corr = solver.solve_LT(
             eps.astype(means.dtype).reshape(p, num_samples, t, d)
         ).reshape(p, num_samples, m)
     flat = means_flat[:, None] + corr  # [P, S, M]
@@ -481,7 +487,12 @@ class StochGPMP:
                 p, -1, t, d
             )
         else:  # long-horizon mode (M > dense threshold): structured O(T d^2)
-            corr = self.sampler.chol.solve_LT(eps)
+            solver = (
+                self.sampler.psolver
+                if self.sampler.psolver is not None
+                else self.sampler.chol
+            )
+            corr = solver.solve_LT(eps)
         samples = means[:, None] + corr
         self.state = self.state.replace(key=self._key)
         n = self.n_dof

@@ -233,3 +233,58 @@ def test_precision_matvec_importance_term():
     dense = np.asarray(prior.precision.to_dense())
     want = np.einsum("psm,mn,pn->ps", v.reshape(2, 5, -1), dense, u.reshape(2, -1))
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+# --------------------------------------------------------------------------- #
+# Parallel-in-time (associative-scan) triangular solves
+# --------------------------------------------------------------------------- #
+
+
+class TestParallelBidiagSolver:
+    def _chol(self, dof, t, dtype=jnp.float64):
+        from stoch_gpmp_tpu.gp.lift import q_inv_block, unary_weight
+        from stoch_gpmp_tpu.gp.prior import build_precision
+
+        d = 2 * dof
+        prec = build_precision(
+            dof, t, 0.02,
+            unary_weight(d, 1e-3, dtype=dtype),
+            q_inv_block(dof, 0.02, sigma=0.1, dtype=dtype),
+            k_g_inv=unary_weight(d, 1e-3, dtype=dtype),
+            dtype=dtype,
+        )
+        return prec.cholesky()
+
+    @pytest.mark.parametrize("dof,t", [(2, 1), (2, 7), (2, 64), (7, 33)])
+    def test_matches_sequential_solves(self, dof, t):
+        from stoch_gpmp_tpu.gp.tridiag import ParallelBidiagSolver
+
+        chol = self._chol(dof, t)
+        ps = ParallelBidiagSolver.from_chol(chol)
+        rng = np.random.default_rng(0)
+        b = jnp.asarray(rng.normal(size=(3, 5, t, 2 * dof)))
+        for name in ("solve_L", "solve_LT", "solve"):
+            ref = np.asarray(getattr(chol, name)(b))
+            par = np.asarray(getattr(ps, name)(b))
+            np.testing.assert_allclose(par, ref, rtol=1e-10, atol=1e-12)
+
+    def test_long_horizon_prior_auto_uses_pscan(self):
+        """make_gp_prior beyond M=2048 builds the parallel solver and 'auto'
+        sampling routes through it; draws match the sequential scan draws
+        bitwise-closely (same eps, reassociated sums)."""
+        from stoch_gpmp_tpu.gp.prior import make_gp_prior
+
+        t = 600  # M = 2400 > 2048 -> long-horizon mode
+        prior = make_gp_prior(
+            2, t, 0.02, jnp.zeros(4), 1e-3, 0.5, sigma_goal=1e-3,
+            goal_states=jnp.asarray([[1.0, 1.0, 0.0, 0.0]]),
+            dtype=jnp.float32,
+        )
+        assert prior.weight_t is None and prior.psolver is not None
+        key = jax.random.PRNGKey(0)
+        auto = np.asarray(prior.sample(key, 4))
+        pscan = np.asarray(prior.sample(key, 4, method="pscan"))
+        scan = np.asarray(prior.sample(key, 4, method="scan"))
+        np.testing.assert_array_equal(auto, pscan)
+        scale = np.abs(scan).max()
+        np.testing.assert_allclose(pscan, scan, atol=2e-4 * scale)
