@@ -119,3 +119,37 @@ def test_sharded_gpmp_matches_single_device():
         rtol=1e-9, atol=1e-10,
     )
     assert len(s2.particle_means.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_long_horizon_pscan_matches_single_device():
+    """Long-horizon mode (no dense factor; parallel-in-time associative-scan
+    sampler) under the sharded optimize: the pscan solver's plane arrays are
+    replicated pytree leaves, samples still shard over (p, s)."""
+    sampler, cost, state, num_samples = _tiny_problem(traj_len=12)
+    # rebuild the prior in forced long-horizon (structured-only) mode
+    prior = make_gp_prior(
+        2, 12, 0.05, jnp.zeros(4, jnp.float32), 1e-2, 1.0, sigma_goal=1e-2,
+        goal_states=jnp.asarray(
+            [[1.0, 1, 0, 0], [1, -1, 0, 0], [-1, 1, 0, 0], [-1, -1, 0, 0]],
+            jnp.float32,
+        ),
+        dtype=jnp.float32, materialize_dense=False,
+    )
+    sampler = SamplerModel.from_prior(prior)
+    assert sampler.weight_t is None and sampler.psolver is not None
+
+    kwargs = dict(opt_iters=3, num_samples=num_samples, temperature=1.0, step_size=0.5)
+    s1, aux1 = jax.jit(
+        lambda sa, c, st, ob: stoch_gpmp_optimize(sa, c, st, ob, **kwargs)
+    )(sampler, cost, state, {})
+
+    mesh = make_mesh(8, axis_shape=(4, 2))
+    sharded = make_sharded_optimize(mesh, **kwargs)
+    s2, aux2 = sharded(sampler, cost, shard_planner_state(mesh, state), {})
+
+    np.testing.assert_allclose(
+        np.asarray(s1.particle_means), np.asarray(s2.particle_means),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert len(s2.particle_means.sharding.device_set) == 8
