@@ -94,6 +94,29 @@ class CostGP(Cost):
         gp_costs = jnp.sum(quadratic_cost(err, self.q_inv), axis=-1)
         return start_costs + gp_costs
 
+    def eval_planes(self, planes, observation=None):
+        """``eval`` on per-dim time planes (tuple_d of ``[..., T]``) — the
+        long-horizon layout: no ``[.., T, d]`` materialization (its d-wide
+        minor dim pads up to 32x on TPU tiles), no batched tiny matmuls."""
+        d = len(planes)
+        err0 = [self.start_state[i] - planes[i][..., 0] for i in range(d)]
+        start = None
+        for i in range(d):
+            fi = sum(self.k_start[i, j] * err0[j] for j in range(d))
+            term = err0[i] * fi
+            start = term if start is None else start + term
+        e = [
+            planes[i][..., 1:]
+            - sum(self.phi[i, j] * planes[j][..., :-1] for j in range(d))
+            for i in range(d)
+        ]
+        gp = None
+        for i in range(d):
+            fi = sum(self.q_inv[i, j] * e[j] for j in range(d))
+            term = jnp.sum(e[i] * fi, axis=-1)
+            gp = term if gp is None else gp + term
+        return start + gp
+
     def gn_contrib(self, trajs, x_trajs=None, observation=None):
         t = trajs.shape[-2]
         d = trajs.shape[-1]
@@ -175,6 +198,26 @@ class CostGoalPrior(Cost):
         x_final = trajs[..., -1, :].reshape(self.num_goals, -1, d)
         err = unary_error(x_final, self.multi_goal_states[:, None])
         return quadratic_cost(err, self.k_goal).reshape(batch)
+
+    def eval_planes(self, planes, observation=None):
+        """Plane-layout ``eval``: goal-major grouping on the leading axis of
+        ``[..., T]`` planes (same contract as ``eval``'s flat batch)."""
+        d = len(planes)
+        batch_shape = planes[0].shape[:-1]
+        g = self.num_goals
+        err = [
+            self.multi_goal_states[:, i].reshape(
+                (g,) + (1,) * len(batch_shape)
+            )
+            - planes[i][..., -1].reshape((g, -1) + batch_shape[1:])
+            for i in range(d)
+        ]
+        out = None
+        for i in range(d):
+            fi = sum(self.k_goal[i, j] * err[j] for j in range(d))
+            term = err[i] * fi
+            out = term if out is None else out + term
+        return out.reshape(batch_shape)
 
     def gn_contrib(self, trajs, x_trajs=None, observation=None):
         batch = trajs.shape[0]
@@ -309,6 +352,22 @@ class CostComposite(Cost):
     @classmethod
     def create(cls, n_dof, traj_len, cost_list: Sequence[Cost], fk=None):
         return cls(costs=tuple(cost_list), n_dof=n_dof, traj_len=traj_len, fk=fk)
+
+    def supports_planes(self) -> bool:
+        """True when every child evaluates on per-dim time planes (the
+        long-horizon plane-layout fast path; FK-based stacks do not)."""
+        return self.fk is None and all(
+            hasattr(c, "eval_planes") for c in self.costs
+        )
+
+    def eval_planes(self, planes, observation=None):
+        """Sum of child costs on per-dim time planes ``tuple_d of [..., T]``
+        (requires ``supports_planes()``)."""
+        total = None
+        for c in self.costs:
+            v = c.eval_planes(planes, observation=observation)
+            total = v if total is None else total + v
+        return total
 
     def _fk_trajs(self, trajs):
         if self.fk is None:

@@ -192,6 +192,62 @@ def stoch_gpmp_step(
     )
 
 
+def _stoch_gpmp_optimize_planes(
+    sampler, cost, state, observation, *, opt_iters, num_samples,
+    temperature, step_size,
+):
+    """Long-horizon optimize in PLANE layout: every per-iteration tensor is a
+    per-dim time plane ``[P(, S), T]`` — dense (8, 128) tiles — instead of
+    ``[.., T, d]``, whose d-wide minor dim pads up to 32x on TPU tiles and
+    dominated the long-horizon iteration (see docs/PERFORMANCE.md). Same
+    update rule; the eps stream is drawn plane-major, so draws differ from
+    the legacy path's stream (both are valid N(0, I) streams)."""
+    p, t, d = state.particle_means.shape
+    dtype = state.particle_means.dtype
+    psolver = sampler.psolver
+
+    def step(planes, key):
+        key, sub = jax.random.split(key)
+        eps = jax.random.normal(sub, (d, p, num_samples, t), dtype=dtype)
+        corr = psolver.solve_LT_planes(tuple(eps[i] for i in range(d)))
+        x = tuple(planes[i][:, None] + corr[i] for i in range(d))
+        costs = cost.eval_planes(x, observation=observation)  # [P, S]
+        pu = sampler.precision.matvec_planes(planes)  # [P, T] each
+        imp = None
+        for i in range(d):
+            term = jnp.sum(x[i] * pu[i][:, None], axis=-1)
+            imp = term if imp is None else imp + term
+        costs = costs + temperature * imp
+        weights = jax.nn.softmax(-costs / temperature, axis=1)
+        grads = tuple(
+            jnp.einsum("ps,pst->pt", weights, corr[i]) for i in range(d)
+        )
+        new_planes = tuple(
+            planes[i] + step_size * grads[i] for i in range(d)
+        )
+        return new_planes, key, costs, weights, grads, x
+
+    means_planes = tuple(state.particle_means[..., i] for i in range(d))
+
+    def body(carry, _):
+        planes, key = carry
+        new_planes, key, _, _, _, _ = step(planes, key)
+        return (new_planes, key), None
+
+    (planes, key), _ = jax.lax.scan(
+        body, (means_planes, state.key), None, length=opt_iters - 1
+    )
+    new_planes, key, costs, weights, grads, x = step(planes, key)
+    new_means = jnp.stack(new_planes, axis=-1)  # [P, T, d] — once, at exit
+    aux = StochGPMPAux(
+        samples=jnp.stack(x, axis=-1),
+        costs=costs,
+        weights=weights,
+        grad=jnp.stack(grads, axis=-1),
+    )
+    return StochGPMPState(particle_means=new_means, key=key), aux
+
+
 def stoch_gpmp_optimize(
     sampler: SamplerModel,
     cost: Any,
@@ -213,6 +269,24 @@ def stoch_gpmp_optimize(
     ``collect_metrics`` also returns stacked per-iteration ``IterMetrics``."""
 
     p, t, d = state.particle_means.shape
+
+    # Long-horizon plane-layout fast path: structured sampler + plane-capable
+    # cost stack. Sharded/reduced-precision/metrics runs use the legacy path
+    # (their hooks operate on the [P, S, T, d] batch).
+    if (
+        sampler.weight_t is None
+        and sampler.psolver is not None
+        and sample_method == "dense"
+        and shard_samples is None
+        and sample_dtype is None
+        and not collect_metrics
+        and getattr(cost, "supports_planes", lambda: False)()
+    ):
+        return _stoch_gpmp_optimize_planes(
+            sampler, cost, state, observation, opt_iters=opt_iters,
+            num_samples=num_samples, temperature=temperature,
+            step_size=step_size,
+        )
 
     def body(carry, _):
         means_flat, key = carry

@@ -288,3 +288,22 @@ class TestParallelBidiagSolver:
         np.testing.assert_array_equal(auto, pscan)
         scale = np.abs(scan).max()
         np.testing.assert_allclose(pscan, scan, atol=2e-4 * scale)
+
+    def test_matvec_planes_matches_matvec(self):
+        from stoch_gpmp_tpu.gp.lift import q_inv_block, unary_weight
+        from stoch_gpmp_tpu.gp.prior import build_precision
+
+        prec = build_precision(
+            2, 17, 0.02,
+            unary_weight(4, 1e-3, dtype=jnp.float64),
+            q_inv_block(2, 0.02, sigma=0.1, dtype=jnp.float64),
+            k_g_inv=unary_weight(4, 1e-3, dtype=jnp.float64),
+            dtype=jnp.float64,
+        )
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(3, 5, 17, 4)))
+        ref = np.asarray(prec.matvec(x))
+        planes = tuple(x[..., i] for i in range(4))
+        out = prec.matvec_planes(planes)
+        par = np.stack([np.asarray(o) for o in out], axis=-1)
+        np.testing.assert_allclose(par, ref, rtol=1e-12, atol=1e-14)

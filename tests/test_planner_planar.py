@@ -249,3 +249,72 @@ def test_sample_dtype_bf16_stays_close():
     st, aux = out
     assert np.all(np.isfinite(np.asarray(st.particle_means)))
     assert st.particle_means.dtype == jnp.float32  # means stay full precision
+
+
+def test_cost_eval_planes_matches_eval():
+    """Plane-layout cost evaluation (the long-horizon fast path) is exactly
+    the flat evaluation for the quadratic stack."""
+    import jax.numpy as jnp
+
+    from stoch_gpmp_tpu.costs import CostComposite, CostGP, CostGoalPrior
+
+    t, dtype = 19, jnp.float64
+    start = jnp.asarray([-9.0, -9.0, 0, 0], dtype)
+    goals = jnp.asarray([[9.0, 6.0, 0, 0], [9.0, -3.0, 0, 0]], dtype)
+    cost = CostComposite.create(2, t, [
+        CostGP.create(2, t, start, 0.02,
+                      {"sigma_start": 1e-3, "sigma_gp": 0.1}, dtype=dtype),
+        CostGoalPrior.create(2, t, goals, sigma_goal_prior=1e-3, dtype=dtype),
+    ])
+    assert cost.supports_planes()
+    rng = np.random.default_rng(0)
+    trajs = jnp.asarray(rng.normal(size=(6, 4, t, 4)))  # [P=6 goal-major, S, T, d]
+    flat = np.asarray(cost.eval(trajs.reshape(24, t, 4))).reshape(6, 4)
+    planes = tuple(trajs[..., i] for i in range(4))
+    par = np.asarray(cost.eval_planes(planes))
+    np.testing.assert_allclose(par, flat, rtol=1e-10, atol=1e-10)
+
+
+def test_long_horizon_plane_mode_plans():
+    """Beyond M=2048 with a plane-capable cost stack, optimize takes the
+    plane-layout path and still anchors the start / reaches the goals."""
+    import jax
+    import jax.numpy as jnp
+
+    from stoch_gpmp_tpu.costs import CostComposite, CostGP, CostGoalPrior
+    from stoch_gpmp_tpu.gp.prior import make_gp_prior
+    from stoch_gpmp_tpu.planners import (
+        SamplerModel, StochGPMPState, stoch_gpmp_optimize,
+    )
+
+    t, dtype = 600, jnp.float32
+    start = jnp.asarray([-9.0, -9.0, 0, 0], dtype)
+    goals = jnp.asarray([[9.0, 6.0, 0, 0]], dtype)
+    cost = CostComposite.create(2, t, [
+        CostGP.create(2, t, start, 0.02,
+                      {"sigma_start": 1e-4, "sigma_gp": 0.3}, dtype=dtype),
+        CostGoalPrior.create(2, t, goals, sigma_goal_prior=1e-4, dtype=dtype),
+    ])
+    prior = make_gp_prior(2, t, 0.02, start, 1e-3, 2.0, sigma_goal=1e-3,
+                          goal_states=goals, dtype=dtype)
+    sampler = SamplerModel.from_prior(prior)
+    assert sampler.weight_t is None and sampler.psolver is not None
+    means = jnp.repeat(prior.means, 3, axis=0)
+    state = StochGPMPState(particle_means=means, key=jax.random.PRNGKey(0))
+    new_state, aux = jax.jit(
+        lambda sa, c, st: stoch_gpmp_optimize(
+            sa, c, st, {}, opt_iters=60, num_samples=16,
+            temperature=1.0, step_size=0.5,
+        )
+    )(sampler, cost, state)
+    m = np.asarray(new_state.particle_means)
+    assert np.isfinite(m).all()
+    assert aux.samples.shape == (3, 16, t, 4)
+    np.testing.assert_allclose(
+        m[:, 0, :2], np.broadcast_to(np.asarray(start[:2]), m[:, 0, :2].shape),
+        atol=0.05,
+    )
+    # endpoints stay anchored at the goal (the const-vel init already ends
+    # there; the 1e-4-sigma goal prior keeps the stochastic wander small)
+    d1 = np.linalg.norm(m[:, -1, :2] - np.asarray(goals[0, :2]), axis=-1)
+    assert d1.max() < 0.05

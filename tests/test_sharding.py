@@ -139,7 +139,11 @@ def test_sharded_long_horizon_pscan_matches_single_device():
     sampler = SamplerModel.from_prior(prior)
     assert sampler.weight_t is None and sampler.psolver is not None
 
-    kwargs = dict(opt_iters=3, num_samples=num_samples, temperature=1.0, step_size=0.5)
+    # sample_method="scan" pins BOTH sides to the legacy [P, S, T, d] path:
+    # the unsharded default would otherwise take the plane-layout fast path,
+    # whose plane-major eps stream differs (valid, but not bit-comparable)
+    kwargs = dict(opt_iters=3, num_samples=num_samples, temperature=1.0,
+                  step_size=0.5, sample_method="scan")
     s1, aux1 = jax.jit(
         lambda sa, c, st, ob: stoch_gpmp_optimize(sa, c, st, ob, **kwargs)
     )(sampler, cost, state, {})
