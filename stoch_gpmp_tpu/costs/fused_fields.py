@@ -199,6 +199,62 @@ class PlaneFieldsCost(Cost):
         # the diagonal's constant exp(0) = 1 per link (reference sums it)
         return total + w_self * float(l)
 
+    def eval_planes(self, planes, observation=None):
+        """Plane-layout ``eval``: the per-dof time planes of the long-horizon
+        pipeline are exactly the kernel's row layout, so the selection matmul
+        disappears — planes concatenate along lanes into ``[B, n_dof*TPAD]``
+        and the SE(3) term reads the last-step columns exactly."""
+        from stoch_gpmp_tpu.ops.pallas.panda_fields import (
+            fk_link_fields_cost_rows,
+        )
+
+        batch_shape = planes[0].shape[:-1]
+        t = planes[0].shape[-1]
+        obs = observation or {}
+        spheres = obs.get("obstacle_spheres", None)
+        w_self = 1.0 / (self.sigma_self**2)
+        w_obst = (1.0 / (self.sigma_coll**2)) if spheres is not None else 0.0
+
+        pad = self.tpad - t
+        q_planes = [p.reshape(-1, t) for p in planes[: self.n_dof]]
+        if pad:
+            q_planes = [jnp.pad(p, ((0, 0), (0, pad))) for p in q_planes]
+        qrows = jnp.concatenate(q_planes, axis=-1)  # [B, n_dof*TPAD]
+        if self.use_pallas:
+            coll = fk_link_fields_cost_rows(
+                self.chain, qrows, self.tmask, spheres,
+                n_dof=self.n_dof, tpad=self.tpad, margin=self.margin,
+                w_self=w_self, w_obst=w_obst,
+            )
+        else:
+            b = qrows.shape[0]
+            q = jnp.stack(
+                [p[:, 1:t] for p in q_planes], axis=-1
+            ).reshape(-1, self.n_dof)
+            coll = self._coll_xla(q, spheres, w_self, w_obst).reshape(
+                b, t - 1
+            ).sum(axis=-1)
+
+        q_last = jnp.stack([p[..., t - 1] for p in q_planes], axis=-1)
+        planes_l, _ = self.chain.fk_scalar_planes(q_last)
+        r_ee, p_ee = planes_l[-1]
+        th = self.target_h
+        sq = None
+        for c in range(3):
+            dd = p_ee[c] - th[c, 3]
+            sq = dd * dd if sq is None else sq + dd * dd
+        pos_dist = jnp.sqrt(sq)
+        tr = None
+        for i in range(3):
+            for j in range(3):
+                term = r_ee[i][j] * th[i, j]
+                tr = term if tr is None else tr + term
+        cos = jnp.clip((tr - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
+        dist = self.w_pos * pos_dist + self.w_rot * jnp.arccos(cos)
+        goal = jnp.square(dist) / (self.sigma_goal**2)
+        goal = jnp.broadcast_to(goal, coll.shape)
+        return (coll + goal).reshape(batch_shape)
+
     def gn_contrib(self, trajs, x_trajs=None, observation=None, fk_trajs=None):
         raise NotImplementedError(
             "use the separate CostCollision/CostGoal fields for Gauss-Newton"

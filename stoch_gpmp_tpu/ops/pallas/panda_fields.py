@@ -316,16 +316,39 @@ def fk_link_fields_cost_flat(
     FK + both RBF fields + the t=0 mask in VMEM."""
     b = x.shape[0]
     qsel = jnp.dot(x, sel, preferred_element_type=x.dtype)  # [B, n_dof*TPAD]
+    return fk_link_fields_cost_rows(
+        chain, qsel, tmask, obstacle_spheres, n_dof=n_dof, tpad=tpad,
+        margin=margin, w_self=w_self, w_obst=w_obst, block_rows=block_rows,
+    )
+
+
+def fk_link_fields_cost_rows(
+    chain,
+    qrows: jnp.ndarray,  # [B, n_dof*TPAD] per-dof contiguous time planes
+    tmask: jnp.ndarray,  # [1, TPAD]
+    obstacle_spheres: jnp.ndarray | None,
+    *,
+    n_dof: int,
+    tpad: int,
+    margin: float,
+    w_self: float,
+    w_obst: float,
+    block_rows: int = 64,
+) -> jnp.ndarray:
+    """The rows kernel of ``fk_link_fields_cost_flat`` without the selection
+    matmul — for callers whose samples already live as per-dof time planes
+    (the plane-layout planner pipeline)."""
+    b = qrows.shape[0]
     bpad = block_rows * (-(-b // block_rows)) - b
     if bpad:
-        qsel = jnp.pad(qsel, ((0, bpad), (0, 0)))
-    n_blocks = qsel.shape[0] // block_rows
+        qrows = jnp.pad(qrows, ((0, bpad), (0, 0)))
+    n_blocks = qrows.shape[0] // block_rows
 
     if obstacle_spheres is None:
-        spheres = jnp.zeros((1, 4), dtype=x.dtype)
+        spheres = jnp.zeros((1, 4), dtype=qrows.dtype)
         n_obst = 0
     else:
-        spheres = obstacle_spheres.reshape(-1, 4).astype(x.dtype)
+        spheres = obstacle_spheres.reshape(-1, 4).astype(qrows.dtype)
         n_obst = int(spheres.shape[0])
 
     kernel = functools.partial(
@@ -347,7 +370,7 @@ def fk_link_fields_cost_flat(
         out_specs=pl.BlockSpec(
             (block_rows, tpad), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * block_rows, tpad), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * block_rows, tpad), qrows.dtype),
         interpret=_interpret(),
-    )(qsel, spheres, tmask)
+    )(qrows, spheres, tmask)
     return jnp.sum(vals[:b], axis=-1)

@@ -272,9 +272,13 @@ def stoch_gpmp_optimize(
 
     # Long-horizon plane-layout fast path: structured sampler + plane-capable
     # cost stack. Sharded/reduced-precision/metrics runs use the legacy path
-    # (their hooks operate on the [P, S, T, d] batch).
+    # (their hooks operate on the [P, S, T, d] batch). Gated to small block
+    # dims: at d=14 the d^2-multiply plane pipelines stop fusing on XLA TPU
+    # and memory traffic explodes (measured 7.5x SLOWER than the dense
+    # stack at the Panda scaling config — docs/PERFORMANCE.md round 2).
     if (
-        sampler.weight_t is None
+        d <= 8
+        and sampler.weight_t is None
         and sampler.psolver is not None
         and sample_method == "dense"
         and shard_samples is None

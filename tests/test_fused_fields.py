@@ -174,3 +174,24 @@ def test_plane_fields_xla_fallback_matches_kernel_path():
         np.asarray(b.eval(trajs, observation=obs)),
         rtol=1e-6,
     )
+
+
+def test_plane_fields_eval_planes_matches_eval():
+    """Plane-layout evaluation (planner's long-horizon pipeline: per-dof
+    [..., T] planes, no selection matmul) equals the flat-trajectory eval."""
+    from stoch_gpmp_tpu.costs.fused_fields import PlaneFieldsCost
+    from stoch_gpmp_tpu.kinematics import homogeneous
+
+    trajs, _, _, obs = _setup(seed=5)
+    t = trajs.shape[1]
+    chain = franka_panda()
+    th = homogeneous(
+        jnp.eye(3, dtype=jnp.float32), jnp.asarray([0.3, 0.3, 0.3], jnp.float32)
+    )
+    cost = PlaneFieldsCost.create(7, t, chain, th)
+    ref = np.asarray(cost.eval(trajs, observation=obs))
+    b = trajs.shape[0]
+    planes = tuple(trajs[..., i].reshape(b // 2, 2, t) for i in range(14))
+    par = np.asarray(cost.eval_planes(planes, observation=obs))
+    assert par.shape == (b // 2, 2)
+    np.testing.assert_allclose(par.reshape(b), ref, rtol=1e-5)
