@@ -1,14 +1,19 @@
-"""Closed-loop Panda success-rate evaluation.
+"""Closed-loop Panda success-rate evaluation — native AND reference planners.
 
 Plans with StochGPMP (7-DOF, sphere obstacles, SE(3) goal), then executes the
-best particle-mean trajectory as position targets in the kinematic
-``PandaEnv`` with the same obstacles; success = EE within 0.125 m of the
-target (reference ``envs/panda.py:489``) with no contact. The reference's
-Panda pipeline needs the external ``torch_robotics`` package and cannot run
-here, so this is a self-evaluation against the reference's own success
-criterion.
+best particle-mean trajectory as position targets in the native ``PandaEnv``
+with the same obstacles; success = EE within 0.125 m of the target
+(reference ``envs/panda.py:489``) with no contact.
 
-Usage: ``python benchmarks/success_rate_panda.py [--seeds 5] [--iters 300]``
+``--planner reference`` runs the ACTUAL reference implementation
+(`/root/reference` ``stoch_gpmp``, torch CPU float64) through the
+``torch_robotics`` shim (``benchmarks/reference_panda_shim.py`` — a torch FK
+bit-identical to the native chain), on the SAME episodes (same start, IK
+goal, obstacle spheres, selection rule, env, criterion) — a true
+reference-vs-native A/B instead of self-judged parity.
+
+Usage: ``python benchmarks/success_rate_panda.py [--seeds 5] [--iters 300]
+[--physics kinematic|dynamics] [--planner native|reference]``
 """
 
 from __future__ import annotations
@@ -23,7 +28,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def run_episode(seed: int, iters: int, physics: str = "kinematic") -> dict:
+def run_episode(seed: int, iters: int, physics: str = "kinematic",
+                planner_kind: str = "native") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -94,21 +100,32 @@ def run_episode(seed: int, iters: int, physics: str = "kinematic") -> dict:
         ],
         fk=chain.fk,
     )
-    planner = StochGPMP(
-        num_particles_per_goal=4, num_samples=32, traj_len=traj_len, dt=dt,
-        n_dof=n_dof, opt_iters=1, start_state=start_state,
-        multi_goal_states=goals, cost=cost, step_size=0.1,
-        sigma_start_init=0.0001, sigma_goal_init=0.1, sigma_gp_init=0.8,
-        sigma_start_sample=0.001, sigma_goal_sample=0.07, sigma_gp_sample=0.1,
-        seed=seed, dtype=dtype,
-    )
-    planner.optimize(opt_iters=iters, observation=obs)
+    if planner_kind == "reference":
+        from reference_panda_shim import plan_with_reference
+
+        means = plan_with_reference(
+            np.asarray(start_state), np.asarray(goals),
+            np.asarray(target_h, dtype=np.float64),
+            np.asarray(spheres_plan), traj_len=traj_len, dt=dt,
+            num_particles_per_goal=4, num_samples=32, opt_iters=iters,
+            seed=seed,
+        ).astype(np.float32)
+    else:
+        planner = StochGPMP(
+            num_particles_per_goal=4, num_samples=32, traj_len=traj_len, dt=dt,
+            n_dof=n_dof, opt_iters=1, start_state=start_state,
+            multi_goal_states=goals, cost=cost, step_size=0.1,
+            sigma_start_init=0.0001, sigma_goal_init=0.1, sigma_gp_init=0.8,
+            sigma_start_sample=0.001, sigma_goal_sample=0.07, sigma_gp_sample=0.1,
+            seed=seed, dtype=dtype,
+        )
+        planner.optimize(opt_iters=iters, observation=obs)
+        means = np.asarray(planner.particle_means)
 
     # collision-aware particle selection: among particles whose whole plan
     # keeps every link clear of every (true-radius) obstacle with margin,
     # pick the one whose final EE is closest to the target; fall back to the
     # globally closest if none is clean
-    means = np.asarray(planner.particle_means)
     ee = np.asarray(chain.ee_pose(jnp.asarray(means[:, -1, :n_dof])))
     ee_dist = np.linalg.norm(ee[:, :3, 3] - target_pos, axis=-1)
     link_pos = np.asarray(
@@ -162,13 +179,18 @@ def main():
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--physics", choices=["kinematic", "dynamics"], default="kinematic",
                     help="arm stepping: velocity-limited tracker or computed-torque PD over RNEA forward dynamics")
+    ap.add_argument("--planner", choices=["native", "reference"], default="native",
+                    help="native = this framework; reference = /root/reference stoch_gpmp (torch CPU f64, torch_robotics shim)")
     args = ap.parse_args()
-    results = [run_episode(s, args.iters, physics=args.physics) for s in range(args.seeds)]
+    results = [
+        run_episode(s, args.iters, physics=args.physics, planner_kind=args.planner)
+        for s in range(args.seeds)
+    ]
     for r in results:
         print(json.dumps(r), flush=True)
     rate = float(np.mean([r["success"] for r in results]))
     print(json.dumps({
-        "planner": "stoch_gpmp_tpu panda closed-loop",
+        "planner": f"{args.planner} panda closed-loop",
         "physics": args.physics,
         "success_rate": round(rate, 3),
         "episodes": len(results),

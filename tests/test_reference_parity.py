@@ -294,3 +294,43 @@ def test_self_distance_field_parity():
         LinkSelfDistanceField(margin=0.05).compute_cost(jnp.asarray(link_tensor))
     )
     np.testing.assert_allclose(got, ref_c, rtol=1e-9)
+
+
+def test_torch_robotics_shim_fk_matches_native():
+    """The torch FK shim that lets the ACTUAL reference Panda planner run
+    here (benchmarks/reference_panda_shim.py) is bit-identical to the native
+    chain — both planners therefore see the same cost definitions."""
+    torch = pytest.importorskip("torch")
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "benchmarks"))
+    from reference_panda_shim import install_torch_robotics_shim
+
+    install_torch_robotics_shim()
+    from torch_robotics.torch_kinematics_tree.geometrics.utils import (
+        SE3_distance,
+    )
+    from torch_robotics.torch_kinematics_tree.models.robots import (
+        DifferentiableFrankaPanda,
+    )
+
+    from stoch_gpmp_tpu.kinematics import se3_distance
+    from stoch_gpmp_tpu.kinematics.panda_model import franka_panda
+
+    chain = franka_panda(dtype=jnp.float64)
+    fk_t = DifferentiableFrankaPanda()
+    rng = np.random.default_rng(3)
+    q = rng.uniform(-2.0, 2.0, (6, 7))
+    ours = np.asarray(chain.fk(jnp.asarray(q)))
+    theirs = fk_t.compute_forward_kinematics_all_links(torch.as_tensor(q)).numpy()
+    np.testing.assert_allclose(theirs, ours, atol=1e-12)
+
+    # SE3 distance agrees with the native implementation on the EE frames
+    h1 = torch.as_tensor(ours[:, -1])
+    h2 = torch.as_tensor(ours[0, -1])
+    d_t = SE3_distance(h1, h2, w_pos=1.0, w_rot=1.0).numpy()
+    d_n = np.asarray(se3_distance(
+        jnp.asarray(ours[:, -1]), jnp.asarray(ours[0, -1]), w_pos=1.0, w_rot=1.0
+    ))
+    np.testing.assert_allclose(d_t, d_n, atol=1e-7)
