@@ -116,3 +116,29 @@ def test_panda_ee_moves_toward_target():
     # 0.125 m, envs/panda.py:489) and not blow it up
     assert dist.mean() < dist0.mean() + 0.05
     assert dist.min() < 0.15, (dist0, dist)
+
+
+def test_panda_long_horizon_runs():
+    """T=160 puts the Panda prior in long-horizon mode (M = 14*160 > 2048):
+    the structured sampler routes through the d=14 parallel-in-time solver
+    (plane-layout optimize stays gated off at d > 8) and the planner still
+    descends with anchored start."""
+    planner, chain, target_h, obs, q_goal = _build_panda(
+        traj_len=160, num_samples=8
+    )
+    assert planner.sampler.weight_t is None
+    assert planner.sampler.psolver is not None
+    m0 = np.asarray(planner.particle_means)
+    c0 = float(planner.cost.eval(
+        planner.particle_means, observation=obs
+    ).mean())
+    planner.optimize(opt_iters=20, observation=obs)
+    m1 = np.asarray(planner.particle_means)
+    assert np.isfinite(m1).all()
+    c1 = float(planner.cost.eval(
+        planner.particle_means, observation=obs
+    ).mean())
+    assert c1 < c0
+    np.testing.assert_allclose(
+        m1[:, 0, :7], m0[:, 0, :7], atol=5e-3
+    )  # 1e-4-sigma start anchor holds
