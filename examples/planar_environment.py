@@ -3,7 +3,12 @@
 start to 3 goals through a random 20x20 obstacle map.
 
 Run: ``python examples/planar_environment.py [--iters 500] [--fast]
-[--plot out.png] [--animate out.gif] [--live]``
+[--traj-len 64] [--plot out.png] [--animate out.gif] [--live]``
+
+``--traj-len`` beyond ~512 (M > 2048) switches the planner to long-horizon
+mode: the structured square-root prior with the parallel-in-time
+(associative-scan) sampler and — with ``--fast`` — the plane-layout optimize
+pipeline, all automatic. The reference is O(T^3) dense in this regime.
 
 ``--animate`` saves the reference's live sample-cloud animation
 (``planar_environment.py:110-134``: red sample trajectories + blue means
@@ -33,6 +38,8 @@ from stoch_gpmp_tpu.utils import print_info
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=500)
+    ap.add_argument("--traj-len", type=int, default=64,
+                    help="horizon; >512 engages long-horizon mode (pscan sampler, plane pipeline)")
     ap.add_argument("--seed", type=int, default=int(time.time()))
     ap.add_argument("--fast", action="store_true", help="fused quad cost + one-hot grid + hw RNG")
     ap.add_argument("--plot", type=str, default=None, help="save trajectory plot to this file")
@@ -43,7 +50,7 @@ def main():
     args = ap.parse_args()
 
     dtype = jnp.float32
-    n_dof, traj_len, dt = 2, 64, 0.02
+    n_dof, traj_len, dt = 2, args.traj_len, 0.02
     num_particles_per_goal, num_samples = 5, 128
 
     start_state = jnp.asarray([-9.0, -9.0, 0.0, 0.0], dtype=dtype)
@@ -51,7 +58,7 @@ def main():
         [[9, 6, 0.0, 0.0], [9, -3, 0.0, 0.0], [-3, 9, 0.0, 0.0]], dtype=dtype
     )
 
-    obst_map, _ = generate_obstacle_map(
+    obst_map, _obst_list = generate_obstacle_map(
         map_dim=(20, 20),
         cell_size=0.1,
         random_gen=True,
@@ -63,7 +70,13 @@ def main():
     )
     field = obst_map.as_field()
     if args.fast:
-        field = OccupancyGridField(grid=field.grid, cell_size=field.cell_size, lookup="onehot")
+        if 2 * n_dof * traj_len > 2048:
+            # plane-capable exact raster field (long-horizon plane pipeline)
+            from stoch_gpmp_tpu.costs.fields import RasterPrimitive2DField
+
+            field = RasterPrimitive2DField.from_map(obst_map, _obst_list, dtype=dtype)
+        else:
+            field = OccupancyGridField(grid=field.grid, cell_size=field.cell_size, lookup="onehot")
 
     cost_prior = CostGP.create(
         n_dof, traj_len, start_state, dt,
@@ -72,7 +85,8 @@ def main():
     cost_goal_prior = CostGoalPrior.create(
         n_dof, traj_len, multi_goal_states, sigma_goal_prior=0.001, dtype=dtype
     )
-    if args.fast:
+    long_horizon = 2 * n_dof * traj_len > 2048
+    if args.fast and not long_horizon:
         quad = QuadraticCost.from_gp_and_goal_prior(cost_prior, cost_goal_prior, traj_len)
         cost_list = [quad]
     else:

@@ -274,6 +274,18 @@ class CostCollision(Cost):
         k = 1.0 / (self.sigma_coll**2)
         return k * jnp.sum(err, axis=-1)
 
+    def supports_planes(self) -> bool:
+        return hasattr(self.field, "compute_cost_planes")
+
+    def eval_planes(self, planes, observation=None):
+        """Plane-layout ``eval`` for 2D coordinate fields: positions are the
+        first two planes; the field evaluates on them directly (long-horizon
+        pipeline, no ``[.., T, d]`` materialization)."""
+        vals = self.field.compute_cost_planes(planes[0], planes[1])
+        sl = self._slice()
+        k = 1.0 / (self.sigma_coll**2)
+        return k * jnp.sum(vals[..., sl], axis=-1)
+
     def gn_contrib(self, trajs, x_trajs=None, observation=None, fk_trajs=None):
         # H_t = -d e_t / d q_t (position dims only), reference
         # field_factor.py:34-38 via autograd -> jax.grad here. When the field
@@ -357,7 +369,8 @@ class CostComposite(Cost):
         """True when every child evaluates on per-dim time planes (the
         long-horizon plane-layout fast path; FK-based stacks do not)."""
         return self.fk is None and all(
-            hasattr(c, "eval_planes") for c in self.costs
+            getattr(c, "supports_planes", lambda: hasattr(c, "eval_planes"))()
+            for c in self.costs
         )
 
     def eval_planes(self, planes, observation=None):

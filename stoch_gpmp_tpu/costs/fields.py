@@ -348,6 +348,33 @@ class RasterPrimitive2DField:
             total = total + (d <= self.circles[:, 2]).astype(x.dtype).sum(-1)
         return total
 
+    def compute_cost_planes(self, x: jnp.ndarray, y: jnp.ndarray, **kw) -> jnp.ndarray:
+        """``compute_cost`` on separate coordinate planes ``[..., T]`` —
+        the long-horizon plane-layout path. Unrolled over the (static-count)
+        primitives so no ``[..., 2]`` or ``[..., R]`` minor dim is ever
+        materialized (2-wide minors pad 64x on TPU tiles)."""
+        ox, oy = self.nx // 2, self.ny // 2
+        jc = jnp.clip(jnp.floor(x / self.cell_size + ox).astype(jnp.int32), 0, self.nx - 1)
+        ic = jnp.clip(jnp.floor(y / self.cell_size + oy).astype(jnp.int32), 0, self.ny - 1)
+        total = jnp.zeros(x.shape, dtype=x.dtype)
+        for r in range(int(self.rect_bounds.shape[0])):
+            inside = (
+                (jc >= self.rect_bounds[r, 0])
+                & (jc < self.rect_bounds[r, 1])
+                & (ic >= self.rect_bounds[r, 2])
+                & (ic < self.rect_bounds[r, 3])
+            )
+            total = total + inside.astype(x.dtype)
+        if int(self.circles.shape[0]):
+            wx = (jc - ox).astype(x.dtype) * self.cell_size
+            wy = (ic - oy).astype(x.dtype) * self.cell_size
+            for c in range(int(self.circles.shape[0])):
+                dx = wx - self.circles[c, 0]
+                dy = wy - self.circles[c, 1]
+                hit = jnp.sqrt(dx * dx + dy * dy) <= self.circles[c, 2]
+                total = total + hit.astype(x.dtype)
+        return total
+
     def compute_collision(self, x: jnp.ndarray, **kw) -> jnp.ndarray:
         return self.compute_cost(x) > 0
 

@@ -318,3 +318,32 @@ def test_long_horizon_plane_mode_plans():
     # there; the 1e-4-sigma goal prior keeps the stochastic wander small)
     d1 = np.linalg.norm(m[:, -1, :2] - np.asarray(goals[0, :2]), axis=-1)
     assert d1.max() < 0.05
+
+
+def test_collision_eval_planes_matches_eval():
+    """Plane-layout CostCollision over the raster field equals the flat
+    evaluation (exact grid semantics preserved)."""
+    import jax.numpy as jnp
+
+    from stoch_gpmp_tpu.costs import CostCollision, CostComposite
+    from stoch_gpmp_tpu.costs.fields import RasterPrimitive2DField
+    from stoch_gpmp_tpu.envs import generate_obstacle_map
+
+    t = 23
+    obst_map, obst_list = generate_obstacle_map(
+        map_dim=(20, 20), cell_size=0.1, random_gen=True, num_obst=8,
+        rand_limits=[[-7.5, 7.5]] * 2, rand_rect_shape=[2, 2], rng=1,
+        dtype=jnp.float32,
+    )
+    field = RasterPrimitive2DField.from_map(obst_map, obst_list, use_pallas=False)
+    coll = CostCollision.create(2, t, field, sigma_coll=1e-3)
+    comp = CostComposite.create(2, t, [coll])
+    assert comp.supports_planes()
+    rng = np.random.default_rng(2)
+    trajs = jnp.asarray(
+        rng.uniform(-11, 11, (12, t, 4)), jnp.float32
+    )  # includes out-of-map points (clamping path)
+    ref = np.asarray(coll.eval(trajs))
+    planes = tuple(trajs[..., i].reshape(3, 4, t) for i in range(4))
+    par = np.asarray(coll.eval_planes(planes)).reshape(12)
+    np.testing.assert_allclose(par, ref, rtol=1e-6)
