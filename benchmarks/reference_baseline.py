@@ -29,11 +29,12 @@ from stoch_gpmp.planner import StochGPMP  # noqa: E402
 TA = {"device": torch.device("cpu"), "dtype": torch.float64}
 
 
-def planar(ppg: int, num_samples: int, iters: int):
+def planar(ppg: int, num_samples: int, iters: int, traj_len: int = 64,
+           label: str = None):
     import random
 
     random.seed(0)
-    n_dof, traj_len, dt = 2, 64, 0.02
+    n_dof, dt = 2, 0.02
     start_state = torch.tensor([-9.0, -9.0, 0.0, 0.0], **TA)
     goals = torch.tensor(
         [[9, 6, 0.0, 0.0], [9, -3, 0.0, 0.0], [-3, 9, 0.0, 0.0]], **TA
@@ -71,7 +72,7 @@ def planar(ppg: int, num_samples: int, iters: int):
     elapsed = time.perf_counter() - t0
     p = planner.num_particles
     return {
-        "config": f"planar-{ppg}ppg (reference torch CPU f64)",
+        "config": label or f"planar-{ppg}ppg (reference torch CPU f64)",
         "metric": "particle-trajectory updates/sec",
         "value": round(p * iters / elapsed, 2),
         "iters_per_sec": round(iters / elapsed, 3),
@@ -109,9 +110,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--ppg", type=int, default=64)
+    ap.add_argument("--long-horizon-t", type=int, default=0,
+                    help="ALSO measure the planar config at this horizon "
+                         "(the reference is O(T^3): it densely re-factorizes "
+                         "an M x M f64 precision every iteration)")
     args = ap.parse_args()
     torch.manual_seed(0)
     np.random.seed(0)
+    if args.long_horizon_t:
+        print(json.dumps(planar(
+            5, 32, max(2, args.iters), traj_len=args.long_horizon_t,
+            label=f"planar-T{args.long_horizon_t} long-horizon "
+                  "(reference torch CPU f64)",
+        )), flush=True)
+        return
     print(json.dumps(prior_draws(args.iters)), flush=True)
     print(json.dumps(planar(args.ppg, 128, args.iters)), flush=True)
 
