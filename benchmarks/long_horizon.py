@@ -1,0 +1,130 @@
+"""Long-horizon planner benchmark: the parallel-in-time + plane-layout path.
+
+Measures whole StochGPMP iterations (15 particles x 32 samples, planar d=4)
+at horizons far beyond the reference's T=64, with and without the
+15-obstacle collision field, plus the raw sampler solve scan-vs-pscan A/B.
+Numbers recorded in docs/PERFORMANCE.md ("Long horizons"). The reference is
+O(T^3) here (dense f64 re-factorization per iteration — measure it with
+``reference_baseline.py --long-horizon-t T``).
+
+Usage: ``python benchmarks/long_horizon.py [--horizons 1024 4096]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _problem(t, with_obstacles):
+    from stoch_gpmp_tpu.costs import (
+        CostCollision, CostComposite, CostGP, CostGoalPrior,
+    )
+    from stoch_gpmp_tpu.costs.fields import RasterPrimitive2DField
+    from stoch_gpmp_tpu.envs import generate_obstacle_map
+    from stoch_gpmp_tpu.gp.prior import make_gp_prior
+    from stoch_gpmp_tpu.planners import SamplerModel, StochGPMPState
+
+    dtype = jnp.float32
+    start = jnp.asarray([-9.0, -9.0, 0, 0], dtype)
+    goals = jnp.asarray([[9.0, 6.0, 0, 0]], dtype)
+    costs = [
+        CostGP.create(2, t, start, 0.02,
+                      {"sigma_start": 1e-3, "sigma_gp": 0.1}, dtype=dtype),
+        CostGoalPrior.create(2, t, goals, sigma_goal_prior=1e-3, dtype=dtype),
+    ]
+    if with_obstacles:
+        obst_map, obst_list = generate_obstacle_map(
+            map_dim=(20, 20), cell_size=0.1, random_gen=True, num_obst=15,
+            rand_limits=[[-7.5, 7.5]] * 2, rand_rect_shape=[2, 2], rng=0,
+            dtype=dtype,
+        )
+        field = RasterPrimitive2DField.from_map(
+            obst_map, obst_list, use_pallas=False
+        )
+        costs.append(CostCollision.create(2, t, field, sigma_coll=1e-5))
+    cost = CostComposite.create(2, t, costs)
+    prior = make_gp_prior(2, t, 0.02, start, 1e-3, 3.0, sigma_goal=1e-3,
+                          goal_states=goals, dtype=dtype,
+                          materialize_dense=False)
+    sampler = SamplerModel.from_prior(prior)
+    means = jnp.repeat(prior.means, 15, axis=0)
+    state = StochGPMPState(
+        particle_means=means, key=jax.random.key(0, impl="unsafe_rbg")
+    )
+    return sampler, cost, state
+
+
+def iteration_bench(t, with_obstacles, iters=50, chunks=3):
+    from stoch_gpmp_tpu.planners import stoch_gpmp_optimize
+
+    sampler, cost, state = _problem(t, with_obstacles)
+    run = jax.jit(lambda st: stoch_gpmp_optimize(
+        sampler, cost, st, {}, opt_iters=iters, num_samples=32,
+        temperature=1.0, step_size=0.5)[0])
+    st = run(state)
+    np.asarray(st.particle_means)
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        st = run(st)
+    final = np.asarray(st.particle_means)
+    el = (time.perf_counter() - t0) / (iters * chunks)
+    assert np.isfinite(final).all()
+    return {
+        "config": f"planar-T{t}{'-obst' if with_obstacles else ''} long-horizon",
+        "metric": "particle-trajectory updates/sec",
+        "value": round(15 / el, 1),
+        "ms_per_iter": round(el * 1e3, 3),
+    }
+
+
+def solver_bench(t, n_samples=480, iters=50, chunks=4):
+    from stoch_gpmp_tpu.gp.prior import make_gp_prior
+
+    prior = make_gp_prior(
+        2, t, 0.02, jnp.zeros(4, jnp.float32), 1e-3, 0.5, sigma_goal=1e-3,
+        goal_states=jnp.asarray([[9.0, 6.0, 0, 0]], jnp.float32),
+        dtype=jnp.float32, materialize_dense=False)
+    out = {"config": f"sampler-solve-T{t}", "batch": n_samples}
+    for method in ("scan", "pscan"):
+        def many(key):
+            def body(k, _):
+                k, sub = jax.random.split(k)
+                s = prior.sample(sub, n_samples, method=method)
+                return k, jnp.sum(s) * 1e-9
+            k, o = jax.lax.scan(body, key, None, length=iters)
+            return o.sum()
+        jf = jax.jit(many)
+        key = jax.random.key(0, impl="unsafe_rbg")
+        float(jf(key))
+        t0 = time.perf_counter()
+        for _ in range(chunks):
+            float(jf(key))
+        out[f"{method}_ms"] = round(
+            (time.perf_counter() - t0) / (iters * chunks) * 1e3, 3
+        )
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--horizons", type=int, nargs="+", default=[1024, 4096])
+    args = ap.parse_args()
+    for t in args.horizons:
+        print(json.dumps(solver_bench(t)), flush=True)
+        print(json.dumps(iteration_bench(t, False)), flush=True)
+        print(json.dumps(iteration_bench(t, True)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
