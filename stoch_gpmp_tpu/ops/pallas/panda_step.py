@@ -40,9 +40,6 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-TWO_PI = 6.283185307179586
-
-
 def _kernel(
     seed_ref,  # [1, 1, 2] int32 (per particle block)
     means_ref,  # [PB, M]
