@@ -1,10 +1,12 @@
 """Measure the PyTorch reference's wall-clock per iteration (CPU float64).
 
 Requires the reference checkout at /root/reference and torch. The Panda
-configs need the external ``torch_robotics`` (unavailable), so reference
-numbers cover the planar and GP-prior-only configs; recorded in BASELINE.md.
+config runs through the ``torch_robotics`` shim
+(``benchmarks/reference_panda_shim.py`` — torch FK bit-identical to the
+native chain). Recorded in BASELINE.md.
 
-Usage: ``python benchmarks/reference_baseline.py [--iters 20] [--ppg 64]``
+Usage: ``python benchmarks/reference_baseline.py [--iters 20] [--ppg 64]
+[--panda] [--long-horizon-t T]``
 """
 
 import argparse
@@ -106,10 +108,87 @@ def prior_draws(iters: int):
     }
 
 
+def panda(iters: int):
+    """Reference Panda parity config (examples/panda_environment.py scale:
+    1 goal x 5 particles x 32 samples x T=64, 5 sphere obstacles) via the
+    torch_robotics shim — float32 like the reference example."""
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from reference_panda_shim import install_torch_robotics_shim
+
+    install_torch_robotics_shim()
+    from stoch_gpmp.costs.cost_functions import CostGoal
+    from stoch_gpmp.costs.fields import (
+        EESE3DistanceField, LinkDistanceField, LinkSelfDistanceField,
+    )
+    from torch_robotics.torch_kinematics_tree.models.robots import (
+        DifferentiableFrankaPanda,
+    )
+
+    ta = {"device": torch.device("cpu"), "dtype": torch.float32}
+    n_dof, traj_len, dt = 7, 64, 0.05
+    ppg, num_samples = 5, 32
+    start_q = torch.tensor([0.012, -0.57, 0.0, -2.81, 0.0, 3.037, 0.741], **ta)
+    start_state = torch.cat([start_q, torch.zeros_like(start_q)])
+    goals = torch.cat([start_q + 0.1, torch.zeros_like(start_q)]).unsqueeze(0)
+    target_h = torch.eye(4, **ta)
+    target_h[:3, 3] = torch.tensor([0.3, 0.3, 0.3], **ta)
+    fk = DifferentiableFrankaPanda(gripper=False, device="cpu")
+    cost = CostComposite(
+        n_dof, traj_len,
+        [
+            CostGP(n_dof, traj_len, start_state, dt,
+                   {"sigma_start": 0.0001, "sigma_gp": 0.0007}, ta),
+            CostGoalPrior(n_dof, traj_len, multi_goal_states=goals,
+                          num_particles_per_goal=ppg, num_samples=num_samples,
+                          sigma_goal_prior=20.0, tensor_args=ta),
+            CostCollision(n_dof, traj_len,
+                          field=LinkSelfDistanceField(margin=0.03, tensor_args=ta),
+                          sigma_coll=0.01),
+            CostCollision(n_dof, traj_len,
+                          field=LinkDistanceField(tensor_args=ta),
+                          sigma_coll=0.01),
+            CostGoal(n_dof, traj_len,
+                     field=EESE3DistanceField(target_h, tensor_args=ta),
+                     sigma_goal=0.00007),
+        ],
+        FK=fk.compute_forward_kinematics_all_links,
+    )
+    planner = StochGPMP(
+        num_particles_per_goal=ppg, num_samples=num_samples, traj_len=traj_len,
+        dt=dt, n_dof=n_dof, opt_iters=1, temperature=1.0,
+        start_state=start_state, multi_goal_states=goals, cost=cost,
+        step_size=0.1, sigma_start_init=0.0001, sigma_goal_init=0.1,
+        sigma_gp_init=0.8, sigma_start_sample=0.001, sigma_goal_sample=0.07,
+        sigma_gp_sample=0.1, seed=0, tensor_args=ta,
+    )
+    rng = np.random.default_rng(0)
+    spheres = np.zeros((1, 5, 4))
+    spheres[0, :, :3] = rng.uniform([0.6, -0.2, 0.6], [1.0, 0.2, 1.0], (5, 3))
+    spheres[0, :, 3] = rng.uniform(0.1, 0.2, 5)
+    obs = {"obstacle_spheres": torch.as_tensor(spheres).to(**ta)}
+    planner.optimize(**obs)  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        planner.optimize(**obs)
+    elapsed = time.perf_counter() - t0
+    p = planner.num_particles
+    return {
+        "config": "panda-parity (reference torch CPU f32, torch_robotics shim)",
+        "metric": "particle-trajectory updates/sec",
+        "value": round(p * iters / elapsed, 2),
+        "iters_per_sec": round(iters / elapsed, 3),
+        "particles": p,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--ppg", type=int, default=64)
+    ap.add_argument("--panda", action="store_true",
+                    help="measure the reference Panda parity config (shim FK)")
     ap.add_argument("--long-horizon-t", type=int, default=0,
                     help="ALSO measure the planar config at this horizon "
                          "(the reference is O(T^3): it densely re-factorizes "
@@ -117,6 +196,9 @@ def main():
     args = ap.parse_args()
     torch.manual_seed(0)
     np.random.seed(0)
+    if args.panda:
+        print(json.dumps(panda(args.iters)), flush=True)
+        return
     if args.long_horizon_t:
         print(json.dumps(planar(
             5, 32, max(2, args.iters), traj_len=args.long_horizon_t,
