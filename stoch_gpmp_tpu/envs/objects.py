@@ -13,6 +13,8 @@ without any physics engine.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -72,9 +74,6 @@ class Sphere(DynamicBodyCore):
         self.base_position = self.base_position + self.base_linear_velocity * dt
 
 
-import functools
-
-
 @functools.lru_cache(maxsize=1)
 def _shared_panda_dynamics():
     from stoch_gpmp_tpu.kinematics.panda_model import panda_dynamics
@@ -127,8 +126,12 @@ class Panda:
 
     HOME = np.asarray([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785])
 
-    def __init__(self, dtype=jnp.float64, use_dynamics: bool = False,
+    def __init__(self, dtype=None, use_dynamics: bool = False,
                  kp: float = 400.0, kd: float | None = None):
+        if dtype is None:
+            # f64 when enabled (IK/dynamics precision); silent f32 otherwise
+            # (jax emits a truncation warning per explicit-f64 asarray)
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.chain = franka_panda(dtype=dtype)
         self.dof = self.chain.n_dofs
         self.jl_lower = np.asarray(self.chain.limits_lower)

@@ -219,11 +219,16 @@ def franka_panda(dtype=jnp.float32, link_names=None, gripper: bool = False) -> K
     )
 
 
-def panda_dynamics(gripper: bool = False, dtype=jnp.float64):
+def panda_dynamics(gripper: bool = False, dtype=None):
     """Batched RNEA dynamics for the Panda (inertials from the reference
-    asset, see ``PANDA_INERTIALS``)."""
+    asset, see ``PANDA_INERTIALS``). ``dtype`` defaults to f64 when x64 is
+    enabled, else f32 (avoids per-call truncation warnings)."""
+    import jax
+
     from stoch_gpmp_tpu.kinematics.dynamics import ChainDynamics
 
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     return ChainDynamics(
         PANDA_WITH_GRIPPER if gripper else PANDA_NO_GRIPPER, dtype=dtype
     )
