@@ -108,10 +108,12 @@ def prior_draws(iters: int):
     }
 
 
-def panda(iters: int):
-    """Reference Panda parity config (examples/panda_environment.py scale:
-    1 goal x 5 particles x 32 samples x T=64, 5 sphere obstacles) via the
-    torch_robotics shim — float32 like the reference example."""
+def panda(iters: int, num_goals: int = 1, ppg: int = 5, traj_len: int = 64,
+          num_samples: int = 32, label: str = None):
+    """Reference Panda config via the torch_robotics shim — float32 like the
+    reference example. Defaults = the parity config (1 goal x 5 particles x
+    32 samples x T=64, 5 sphere obstacles); pass the scaling shape for the
+    config-5 comparison."""
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -127,11 +129,14 @@ def panda(iters: int):
     )
 
     ta = {"device": torch.device("cpu"), "dtype": torch.float32}
-    n_dof, traj_len, dt = 7, 64, 0.05
-    ppg, num_samples = 5, 32
+    n_dof, dt = 7, 0.05
     start_q = torch.tensor([0.012, -0.57, 0.0, -2.81, 0.0, 3.037, 0.741], **ta)
     start_state = torch.cat([start_q, torch.zeros_like(start_q)])
-    goals = torch.cat([start_q + 0.1, torch.zeros_like(start_q)]).unsqueeze(0)
+    rng_g = np.random.default_rng(0)
+    goals_q = start_q.unsqueeze(0) + torch.as_tensor(
+        rng_g.uniform(-0.3, 0.3, (num_goals, n_dof)), dtype=torch.float32
+    )
+    goals = torch.cat([goals_q, torch.zeros_like(goals_q)], dim=-1)
     target_h = torch.eye(4, **ta)
     target_h[:3, 3] = torch.tensor([0.3, 0.3, 0.3], **ta)
     fk = DifferentiableFrankaPanda(gripper=False, device="cpu")
@@ -175,7 +180,7 @@ def panda(iters: int):
     elapsed = time.perf_counter() - t0
     p = planner.num_particles
     return {
-        "config": "panda-parity (reference torch CPU f32, torch_robotics shim)",
+        "config": label or "panda-parity (reference torch CPU f32, torch_robotics shim)",
         "metric": "particle-trajectory updates/sec",
         "value": round(p * iters / elapsed, 2),
         "iters_per_sec": round(iters / elapsed, 3),
@@ -189,6 +194,8 @@ def main():
     ap.add_argument("--ppg", type=int, default=64)
     ap.add_argument("--panda", action="store_true",
                     help="measure the reference Panda parity config (shim FK)")
+    ap.add_argument("--panda-scaling", action="store_true",
+                    help="measure the reference at the config-5 shape (10 goals x 128 ppg x T=128)")
     ap.add_argument("--long-horizon-t", type=int, default=0,
                     help="ALSO measure the planar config at this horizon "
                          "(the reference is O(T^3): it densely re-factorizes "
@@ -198,6 +205,13 @@ def main():
     np.random.seed(0)
     if args.panda:
         print(json.dumps(panda(args.iters)), flush=True)
+        return
+    if args.panda_scaling:
+        print(json.dumps(panda(
+            max(2, min(args.iters, 5)), num_goals=10, ppg=128, traj_len=128,
+            num_samples=8,
+            label="panda-scaling-10x128 (reference torch CPU f32, shim FK)",
+        )), flush=True)
         return
     if args.long_horizon_t:
         print(json.dumps(planar(
