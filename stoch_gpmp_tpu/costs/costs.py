@@ -94,6 +94,9 @@ class CostGP(Cost):
         gp_costs = jnp.sum(quadratic_cost(err, self.q_inv), axis=-1)
         return start_costs + gp_costs
 
+    def supports_planes(self) -> bool:
+        return True
+
     def eval_planes(self, planes, observation=None):
         """``eval`` on per-dim time planes (tuple_d of ``[..., T]``) — the
         long-horizon layout: no ``[.., T, d]`` materialization (its d-wide
@@ -198,6 +201,9 @@ class CostGoalPrior(Cost):
         x_final = trajs[..., -1, :].reshape(self.num_goals, -1, d)
         err = unary_error(x_final, self.multi_goal_states[:, None])
         return quadratic_cost(err, self.k_goal).reshape(batch)
+
+    def supports_planes(self) -> bool:
+        return True
 
     def eval_planes(self, planes, observation=None):
         """Plane-layout ``eval``: goal-major grouping on the leading axis of
@@ -379,6 +385,23 @@ class CostComposite(Cost):
         total = None
         for c in self.costs:
             v = c.eval_planes(planes, observation=observation)
+            total = v if total is None else total + v
+        return total
+
+    def supports_dof_planes(self) -> bool:
+        """True when every child evaluates on per-DOF plane-major state
+        ``[B, d, 2T]`` (the dof-factored fast path, gp/dof_factored.py)."""
+        return self.fk is None and all(
+            getattr(c, "supports_dof_planes", lambda: hasattr(c, "eval_dof_planes"))()
+            for c in self.costs
+        )
+
+    def eval_dof_planes(self, x_planes, observation=None):
+        """Sum of child costs on the dof-factored batch ``[B, d, 2T]``
+        (requires ``supports_dof_planes()``)."""
+        total = None
+        for c in self.costs:
+            v = c.eval_dof_planes(x_planes, observation=observation)
             total = v if total is None else total + v
         return total
 

@@ -199,6 +199,21 @@ class PlaneFieldsCost(Cost):
         # the diagonal's constant exp(0) = 1 per link (reference sums it)
         return total + w_self * float(l)
 
+    def supports_planes(self) -> bool:
+        return True
+
+    def supports_dof_planes(self) -> bool:
+        return True
+
+    def eval_dof_planes(self, x_planes, observation=None):
+        """Dof-factored entry: ``x_planes [B, d, 2T]`` per-dof plane-major
+        state (gp/dof_factored.py). The position planes are the first T lanes
+        of each dof row — exact static slices, no selection matmul — and feed
+        ``eval_planes`` directly."""
+        t = x_planes.shape[-1] // 2
+        planes = tuple(x_planes[..., i, :t] for i in range(self.n_dof))
+        return self.eval_planes(planes, observation=observation)
+
     def eval_planes(self, planes, observation=None):
         """Plane-layout ``eval``: the per-dof time planes of the long-horizon
         pipeline are exactly the kernel's row layout, so the selection matmul

@@ -35,6 +35,10 @@ class QuadraticCost(Cost):
     num_goals: int = struct.field(pytree_node=False)
     traj_len: int = struct.field(pytree_node=False)
     state_dim: int = struct.field(pytree_node=False)
+    # per-dof factored form (gp/dof_factored.py) — exact under scalar sigmas;
+    # lets the planner's dof-plane fast path evaluate this cost as d
+    # [B, 2T] @ [2T, 2T] matmuls (factor-d fewer FLOPs than a_dense)
+    dof_form: object | None = None
 
     @classmethod
     def from_gp_and_goal_prior(
@@ -72,6 +76,14 @@ class QuadraticCost(Cost):
         if goal_prior is not None:
             b = b.at[:, -d:].add(jnp.einsum("ij,gj->gi", k_g, goals))
             c = c + jnp.einsum("gi,ij,gj->g", goals, k_g, goals)
+        from stoch_gpmp_tpu.gp.dof_factored import DofQuadraticCost
+
+        try:
+            dof_form = DofQuadraticCost.from_gp_and_goal_prior(
+                gp, goal_prior, traj_len
+            )
+        except ValueError:  # non-isotropic weights: dense form only
+            dof_form = None
         return cls(
             a_dense=a_dense,
             a_diag=diag,
@@ -81,7 +93,14 @@ class QuadraticCost(Cost):
             num_goals=g,
             traj_len=traj_len,
             state_dim=d,
+            dof_form=dof_form,
         )
+
+    def supports_dof_planes(self) -> bool:
+        return self.dof_form is not None
+
+    def eval_dof_planes(self, x_planes, observation=None):
+        return self.dof_form.eval_dof_planes(x_planes, observation=observation)
 
     def eval(self, trajs, x_trajs=None, observation=None):
         batch = trajs.shape[0]

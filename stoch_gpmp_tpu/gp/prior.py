@@ -123,6 +123,10 @@ class GPPrior:
     # parallel-in-time solver (built in long-horizon mode): associative-scan
     # triangular solves, O(log T) depth — the sequence-parallel sampling path
     psolver: ParallelBidiagSolver | None = None
+    # per-dof factored (plane-ordered) form — the Gaussian factorizes exactly
+    # across dofs under scalar sigmas (gp/dof_factored.py); built whenever the
+    # per-dof [2T, 2T] factor is small enough to materialize
+    dof: object | None = None
 
     @property
     def num_modes(self) -> int:
@@ -245,6 +249,19 @@ def make_gp_prior(
         weight_t = None
         psolver = ParallelBidiagSolver.from_chol(chol)
 
+    # per-dof factored form (exact under the scalar sigmas of this API):
+    # the [2T, 2T] shared block is cheap up to T~1024 and unlocks the
+    # dof-factored fast paths (gp/dof_factored.py)
+    dof_factor = None
+    if 2 * traj_len <= 2048:
+        from stoch_gpmp_tpu.gp.dof_factored import make_dof_factored_prior
+
+        dof_factor = make_dof_factored_prior(
+            traj_len, dt, sigma_start, sigma_gp,
+            sigma_goal=sigma_goal if goal_states is not None else None,
+            dtype=dtype,
+        )
+
     if means is None:
         means = const_vel_means(
             jnp.asarray(start_state, dtype=dtype),
@@ -258,5 +275,5 @@ def make_gp_prior(
 
     return GPPrior(
         means=means, precision=precision, chol=chol, weight_t=weight_t,
-        psolver=psolver,
+        psolver=psolver, dof=dof_factor,
     )

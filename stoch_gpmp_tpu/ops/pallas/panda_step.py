@@ -243,6 +243,11 @@ def make_fused_panda_step(
 
     spheres = jnp.asarray(spheres, dtype=jnp.float32).reshape(-1, 4)
     n_obst = int(spheres.shape[0])
+    if n_obst == 0:
+        # pallas_call rejects zero-size blocks; keep a dummy (1, 4) row with
+        # n_obst=0 so the obstacle loop is skipped (same guard as
+        # panda_fields.fk_link_fields_cost_rows).
+        spheres = jnp.zeros((1, 4), dtype=jnp.float32)
 
     kernel = functools.partial(
         _kernel,
@@ -267,7 +272,7 @@ def make_fused_panda_step(
             pl.BlockSpec((m, m), const, memory_space=vm),  # W
             pl.BlockSpec((m, m), const, memory_space=vm),  # A
             pl.BlockSpec((m, n_dof * tpad), const, memory_space=vm),  # sel
-            pl.BlockSpec((n_obst, 4), const, memory_space=vm),
+            pl.BlockSpec((int(spheres.shape[0]), 4), const, memory_space=vm),
             pl.BlockSpec((1, tpad), const, memory_space=vm),
         ],
         out_specs=(

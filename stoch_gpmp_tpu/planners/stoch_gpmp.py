@@ -54,6 +54,9 @@ class SamplerModel:
     # long-horizon mode: parallel-in-time (associative-scan) solver for the
     # sampling substitution — O(log T) depth vs the sequential scan's O(T)
     psolver: object | None = None
+    # per-dof factored plane-ordered form (gp/dof_factored.py): the [2T, 2T]
+    # shared sampling factor + precision; exact under scalar sigmas
+    dof: object | None = None
 
     @classmethod
     def from_prior(cls, prior: GPPrior) -> "SamplerModel":
@@ -64,6 +67,7 @@ class SamplerModel:
             weight_t=prior.weight_t,
             precision_dense=prior.precision.to_dense() if dense else None,
             psolver=prior.psolver,
+            dof=prior.dof,
         )
 
 
@@ -124,6 +128,7 @@ def stoch_gpmp_step(
     sample_method: str = "dense",
     shard_samples=None,
     sample_dtype=None,
+    plane_stream: bool = False,
 ) -> tuple[StochGPMPState, StochGPMPAux]:
     """One importance-weighted update of all particle means. Pure function.
 
@@ -133,6 +138,11 @@ def stoch_gpmp_step(
     the sampling matmul — runs the MXU at 4x the f32 rate at large M, at the
     cost of ~1e-2 relative perturbation of the proposal draws (the algorithm
     remains valid: costs/weights are evaluated on the actual samples).
+    ``plane_stream``: draw eps and solve in the plane-major order of the
+    long-horizon plane path, so toggling ``collect_metrics``/``shard_samples``
+    on a plane-eligible problem does NOT change the planned trajectories
+    (``stoch_gpmp_optimize`` sets this from the problem regime, not the
+    execution path; tested in ``tests/test_planner_planar.py``).
     """
     means = state.particle_means  # [P, T, d]
     p, t, d = means.shape
@@ -140,21 +150,30 @@ def stoch_gpmp_step(
     means_flat = means.reshape(p, m)
     key, sub = jax.random.split(state.key)
 
-    # --- sample: x = mu + eps @ L^{-T}^T (one MXU matmul) ---
     eps_dtype = sample_dtype if sample_dtype is not None else means.dtype
-    eps = jax.random.normal(sub, (p, num_samples, m), dtype=eps_dtype)
-    if shard_samples is not None:
-        eps = shard_samples(eps.reshape(p, num_samples, t, d)).reshape(
-            p, num_samples, m
+    if plane_stream and sampler.psolver is not None:
+        # identical stream + solve as _stoch_gpmp_optimize_planes, then one
+        # stack back to the [P, S, T, d] batch this path operates on
+        eps = jax.random.normal(sub, (d, p, num_samples, t), dtype=eps_dtype)
+        corr_planes = sampler.psolver.solve_LT_planes(
+            tuple(eps[i].astype(means.dtype) for i in range(d))
         )
-    if sample_method == "dense" and sampler.weight_t is not None:
-        corr = (eps @ sampler.weight_t.astype(eps_dtype)).astype(means.dtype)
-    else:  # long-horizon / explicit scan path: structured solve — parallel
-        # in time (O(log T) associative scan) when the solver was built
-        solver = sampler.psolver if sampler.psolver is not None else sampler.chol
-        corr = solver.solve_LT(
-            eps.astype(means.dtype).reshape(p, num_samples, t, d)
-        ).reshape(p, num_samples, m)
+        corr = jnp.stack(corr_planes, axis=-1).reshape(p, num_samples, m)
+    else:
+        # --- sample: x = mu + eps @ L^{-T}^T (one MXU matmul) ---
+        eps = jax.random.normal(sub, (p, num_samples, m), dtype=eps_dtype)
+        if shard_samples is not None:
+            eps = shard_samples(eps.reshape(p, num_samples, t, d)).reshape(
+                p, num_samples, m
+            )
+        if sample_method == "dense" and sampler.weight_t is not None:
+            corr = (eps @ sampler.weight_t.astype(eps_dtype)).astype(means.dtype)
+        else:  # long-horizon / explicit scan path: structured solve — parallel
+            # in time (O(log T) associative scan) when the solver was built
+            solver = sampler.psolver if sampler.psolver is not None else sampler.chol
+            corr = solver.solve_LT(
+                eps.astype(means.dtype).reshape(p, num_samples, t, d)
+            ).reshape(p, num_samples, m)
     flat = means_flat[:, None] + corr  # [P, S, M]
     samples = flat.reshape(p, num_samples, t, d)
     if shard_samples is not None:
@@ -192,16 +211,34 @@ def stoch_gpmp_step(
     )
 
 
+def _plane_metrics(costs, weights, grads, step_size) -> IterMetrics:
+    """``IterMetrics`` computed directly on plane-layout quantities (no
+    ``[.., T, d]`` stacking inside the scanned loop)."""
+    entropy = -jnp.sum(weights * jnp.log(weights + 1e-30), axis=1).mean()
+    sq = None
+    for g in grads:
+        term = jnp.sum(g * g, axis=-1)
+        sq = term if sq is None else sq + term
+    return IterMetrics(
+        cost_mean=costs.mean(),
+        cost_min=costs.min(),
+        weight_entropy=entropy,
+        update_norm=(step_size * jnp.sqrt(sq)).mean(),
+    )
+
+
 def _stoch_gpmp_optimize_planes(
     sampler, cost, state, observation, *, opt_iters, num_samples,
-    temperature, step_size,
+    temperature, step_size, collect_metrics=False,
 ):
     """Long-horizon optimize in PLANE layout: every per-iteration tensor is a
     per-dim time plane ``[P(, S), T]`` — dense (8, 128) tiles — instead of
     ``[.., T, d]``, whose d-wide minor dim pads up to 32x on TPU tiles and
     dominated the long-horizon iteration (see docs/PERFORMANCE.md). Same
-    update rule; the eps stream is drawn plane-major, so draws differ from
-    the legacy path's stream (both are valid N(0, I) streams)."""
+    update rule; the eps stream is drawn plane-major, and the legacy path
+    draws the SAME stream on plane-eligible problems (``plane_stream`` in
+    ``stoch_gpmp_step``), so observability/sharding toggles don't change the
+    planned trajectories."""
     p, t, d = state.particle_means.shape
     dtype = state.particle_means.dtype
     psolver = sampler.psolver
@@ -231,10 +268,14 @@ def _stoch_gpmp_optimize_planes(
 
     def body(carry, _):
         planes, key = carry
-        new_planes, key, _, _, _, _ = step(planes, key)
-        return (new_planes, key), None
+        new_planes, key, costs, weights, grads, _ = step(planes, key)
+        ys = (
+            _plane_metrics(costs, weights, grads, step_size)
+            if collect_metrics else None
+        )
+        return (new_planes, key), ys
 
-    (planes, key), _ = jax.lax.scan(
+    (planes, key), metrics = jax.lax.scan(
         body, (means_planes, state.key), None, length=opt_iters - 1
     )
     new_planes, key, costs, weights, grads, x = step(planes, key)
@@ -245,7 +286,79 @@ def _stoch_gpmp_optimize_planes(
         weights=weights,
         grad=jnp.stack(grads, axis=-1),
     )
-    return StochGPMPState(particle_means=new_means, key=key), aux
+    out_state = StochGPMPState(particle_means=new_means, key=key)
+    if not collect_metrics:
+        return out_state, aux
+    last = _plane_metrics(costs, weights, grads, step_size)
+    metrics = jax.tree_util.tree_map(
+        lambda hist, l: jnp.concatenate([hist, l[None]]), metrics, last
+    )
+    return out_state, aux, metrics
+
+
+def _stoch_gpmp_optimize_dof(
+    sampler, cost, state, observation, *, opt_iters, num_samples,
+    temperature, step_size, collect_metrics=False,
+):
+    """Optimize in the per-dof factored PLANE-MAJOR layout
+    (``gp/dof_factored.py``): means/samples live as ``[P(, S), d, 2T]``
+    planes; sampling and the quadratic/importance terms run per dof against
+    the shared ``[2T, 2T]`` factor — a factor-``d`` FLOP reduction over the
+    dense ``[M, M]`` matmuls, with the position planes falling straight out
+    of the sampling matmul (no selection matmul, no ``[.., T, d]``
+    relayouts). This is the d>8 long-horizon/scaling fast path (the d<=8
+    plane path keeps the pscan stream; see ``stoch_gpmp_optimize``)."""
+    from stoch_gpmp_tpu.gp.dof_factored import from_dof_planes, to_dof_planes
+
+    p, t, d2 = state.particle_means.shape
+    dof = sampler.dof
+
+    def step(mu_planes, key):
+        key, sub = jax.random.split(key)
+        x, corr = dof.sample_planes(sub, mu_planes, num_samples)  # [P,S,d,2T]
+        costs = cost.eval_dof_planes(
+            x.reshape(p * num_samples, d2 // 2, 2 * t), observation=observation
+        ).reshape(p, num_samples)
+        pu = dof.matvec_planes(mu_planes)  # [P, d, 2T]
+        costs = costs + temperature * jnp.einsum("psdk,pdk->ps", x, pu)
+        weights = jax.nn.softmax(-costs / temperature, axis=1)
+        grad = jnp.einsum("ps,psdk->pdk", weights, corr)
+        new_mu = mu_planes + step_size * grad
+        return new_mu, key, costs, weights, grad, x
+
+    def _metrics(costs, weights, grad):
+        entropy = -jnp.sum(weights * jnp.log(weights + 1e-30), axis=1).mean()
+        nrm = jnp.sqrt(jnp.sum(grad * grad, axis=(-2, -1)))
+        return IterMetrics(
+            cost_mean=costs.mean(), cost_min=costs.min(),
+            weight_entropy=entropy, update_norm=(step_size * nrm).mean(),
+        )
+
+    def body(carry, _):
+        mu, key = carry
+        new_mu, key, costs, weights, grad, _ = step(mu, key)
+        ys = _metrics(costs, weights, grad) if collect_metrics else None
+        return (new_mu, key), ys
+
+    mu0 = to_dof_planes(state.particle_means)
+    (mu, key), metrics = jax.lax.scan(
+        body, (mu0, state.key), None, length=opt_iters - 1
+    )
+    new_mu, key, costs, weights, grad, x = step(mu, key)
+    out_state = StochGPMPState(
+        particle_means=from_dof_planes(new_mu), key=key
+    )
+    aux = StochGPMPAux(
+        samples=from_dof_planes(x), costs=costs, weights=weights,
+        grad=from_dof_planes(grad),
+    )
+    if not collect_metrics:
+        return out_state, aux
+    last = _metrics(costs, weights, grad)
+    metrics = jax.tree_util.tree_map(
+        lambda hist, l: jnp.concatenate([hist, l[None]]), metrics, last
+    )
+    return out_state, aux, metrics
 
 
 def stoch_gpmp_optimize(
@@ -266,30 +379,57 @@ def stoch_gpmp_optimize(
     """Run ``opt_iters`` updates under ``lax.scan``; returns the final state
     and the LAST iteration's aux (matching the reference's return of the
     final iteration's samples/costs, ``planner.py:289-317``). With
-    ``collect_metrics`` also returns stacked per-iteration ``IterMetrics``."""
+    ``collect_metrics`` also returns stacked per-iteration ``IterMetrics``.
+
+    The eps stream is a function of the PROBLEM regime, not the execution
+    path: on plane-eligible problems (long-horizon structured sampler, d<=8,
+    plane-capable cost) both the plane fast path and the legacy path draw the
+    same plane-major stream, so toggling ``collect_metrics``/``shard_samples``
+    never changes the planned trajectories at a fixed seed (tested).
+    ``sample_dtype`` is inherently a different stream (reduced-precision
+    draws)."""
+
+    if opt_iters < 1:
+        raise ValueError(f"opt_iters must be >= 1, got {opt_iters}")
 
     p, t, d = state.particle_means.shape
 
-    # Long-horizon plane-layout fast path: structured sampler + plane-capable
-    # cost stack. Sharded/reduced-precision/metrics runs use the legacy path
-    # (their hooks operate on the [P, S, T, d] batch). Gated to small block
-    # dims: at d=14 the d^2-multiply plane pipelines stop fusing on XLA TPU
-    # and memory traffic explodes (measured 7.5x SLOWER than the dense
-    # stack at the Panda scaling config — docs/PERFORMANCE.md round 2).
-    if (
+    # Plane-eligibility of the PROBLEM (exclusive of observability/sharding
+    # toggles): structured sampler + plane-capable cost stack, small block
+    # dim. Gated to d <= 8: at d=14 the d^2-multiply plane pipelines stop
+    # fusing on XLA TPU and memory traffic explodes (measured 7.5x SLOWER
+    # than the dense stack at the Panda scaling config — docs/PERFORMANCE.md
+    # round 2; the dof-factored fast stack covers that regime instead).
+    plane_eligible = (
         d <= 8
         and sampler.weight_t is None
         and sampler.psolver is not None
         and sample_method == "dense"
-        and shard_samples is None
-        and sample_dtype is None
-        and not collect_metrics
         and getattr(cost, "supports_planes", lambda: False)()
-    ):
+    )
+    if plane_eligible and shard_samples is None and sample_dtype is None:
         return _stoch_gpmp_optimize_planes(
             sampler, cost, state, observation, opt_iters=opt_iters,
             num_samples=num_samples, temperature=temperature,
-            step_size=step_size,
+            step_size=step_size, collect_metrics=collect_metrics,
+        )
+
+    # Per-dof factored plane path (gp/dof_factored.py): the fast stack for
+    # d > 8 (Panda) — where the d<=8 plane path is fusion-gated off — and an
+    # explicit opt-in via sample_method='dof' elsewhere. Deterministic in the
+    # PROBLEM (not in observability toggles), like the plane gate above.
+    dof_eligible = (
+        sampler.dof is not None
+        and shard_samples is None
+        and sample_dtype is None
+        and getattr(cost, "supports_dof_planes", lambda: False)()
+        and (sample_method == "dof" or (sample_method == "dense" and d > 8))
+    )
+    if dof_eligible:
+        return _stoch_gpmp_optimize_dof(
+            sampler, cost, state, observation, opt_iters=opt_iters,
+            num_samples=num_samples, temperature=temperature,
+            step_size=step_size, collect_metrics=collect_metrics,
         )
 
     def body(carry, _):
@@ -305,6 +445,7 @@ def stoch_gpmp_optimize(
             sample_method=sample_method,
             shard_samples=shard_samples,
             sample_dtype=sample_dtype,
+            plane_stream=plane_eligible and sample_dtype is None,
         )
         ys = IterMetrics.from_aux(aux, step_size) if collect_metrics else None
         # carry the means FLAT: a [P, T, d] carry keeps the 14-wide minor dim,
@@ -328,6 +469,7 @@ def stoch_gpmp_optimize(
         sample_method=sample_method,
         shard_samples=shard_samples,
         sample_dtype=sample_dtype,
+        plane_stream=plane_eligible and sample_dtype is None,
     )
     if not collect_metrics:
         return final_state, aux

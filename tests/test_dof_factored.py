@@ -1,0 +1,258 @@
+"""The per-dof factored (plane-ordered) GP stack equals the dense machinery.
+
+The claim (gp/dof_factored.py): with scalar sigmas — the reference's whole
+API — the dense ``[M, M]`` sampling factor / precision / quadratic-cost
+matrices are permuted block-diagonals of ``n_dof`` identical ``[2T, 2T]``
+blocks in plane order. Verified here exactly (float64) against
+``make_gp_prior`` / ``QuadraticCost``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stoch_gpmp_tpu.costs import CostGP, CostGoalPrior
+from stoch_gpmp_tpu.costs.quadratic import QuadraticCost
+from stoch_gpmp_tpu.gp.dof_factored import (
+    DofQuadraticCost,
+    from_dof_planes,
+    make_dof_factored_prior,
+    to_dof_planes,
+)
+from stoch_gpmp_tpu.gp.prior import make_gp_prior
+
+T, DOF, DT = 13, 3, 0.05
+SIG_START, SIG_GP, SIG_GOAL = 1e-3, 0.07, 0.08
+
+
+def _global_perm(t, d):
+    """Flat t-major index of plane-major element (dof k, s) with s < T a
+    position step and s >= T a velocity step."""
+    idx = np.empty(2 * d * t, dtype=np.int64)
+    for k in range(d):
+        for s in range(2 * t):
+            if s < t:
+                idx[k * 2 * t + s] = s * 2 * d + k
+            else:
+                idx[k * 2 * t + s] = (s - t) * 2 * d + d + k
+    return idx
+
+
+def _priors():
+    start = jnp.arange(2 * DOF, dtype=jnp.float64) * 0.1
+    goals = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 2 * DOF)), dtype=jnp.float64
+    )
+    dense = make_gp_prior(
+        DOF, T, DT, start, SIG_START, SIG_GP, sigma_goal=SIG_GOAL,
+        goal_states=goals, dtype=jnp.float64,
+    )
+    dof = make_dof_factored_prior(
+        T, DT, SIG_START, SIG_GP, sigma_goal=SIG_GOAL, dtype=jnp.float64
+    )
+    return start, goals, dense, dof
+
+
+def test_weight_and_precision_blockdiag():
+    _, _, dense, dof = _priors()
+    perm = _global_perm(T, DOF)
+    w_full = np.asarray(dense.weight_t)[np.ix_(perm, perm)]
+    p_full = np.asarray(dense.precision.to_dense())[np.ix_(perm, perm)]
+    t2 = 2 * T
+    for k in range(DOF):
+        blk = slice(k * t2, (k + 1) * t2)
+        np.testing.assert_allclose(
+            w_full[blk, blk], np.asarray(dof.w_dof), rtol=1e-9, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            p_full[blk, blk], np.asarray(dof.prec_dof), rtol=1e-9, atol=1e-9
+        )
+        # off-dof coupling is exactly zero
+        out = w_full[blk].copy()
+        out[:, blk] = 0.0
+        assert np.abs(out).max() == 0.0
+
+
+def test_sampling_matches_dense():
+    """eps routed through the per-dof factor equals the dense-matmul sample
+    with the correspondingly permuted eps."""
+    _, _, dense, dof = _priors()
+    perm = _global_perm(T, DOF)
+    rng = np.random.default_rng(1)
+    eps_flat = jnp.asarray(rng.normal(size=(5, 2 * DOF * T)))  # t-major
+    corr_dense = np.asarray(eps_flat @ dense.weight_t)[:, perm]
+    eps_planes = eps_flat[:, perm].reshape(5, DOF, 2 * T)
+    corr_dof = np.asarray(
+        (eps_planes.reshape(-1, 2 * T) @ dof.w_dof).reshape(5, DOF * 2 * T)
+    )
+    np.testing.assert_allclose(corr_dof, corr_dense, rtol=1e-9, atol=1e-9)
+
+
+def test_layout_roundtrip():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(4, 7, T, 2 * DOF)))
+    planes = to_dof_planes(x)
+    assert planes.shape == (4, 7, DOF, 2 * T)
+    # plane s<T of dof k is the position sequence
+    np.testing.assert_array_equal(
+        np.asarray(planes[..., 1, :T]), np.asarray(x[..., :, 1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(planes[..., 1, T:]), np.asarray(x[..., :, DOF + 1])
+    )
+    np.testing.assert_array_equal(np.asarray(from_dof_planes(planes)), np.asarray(x))
+
+
+def test_quadratic_cost_matches():
+    start, goals, _, _ = _priors()
+    gp = CostGP.create(
+        DOF, T, start, DT,
+        {"sigma_start": SIG_START, "sigma_gp": SIG_GP}, dtype=jnp.float64,
+    )
+    goal_prior = CostGoalPrior.create(
+        DOF, T, goals, sigma_goal_prior=20.0, dtype=jnp.float64
+    )
+    dense_q = QuadraticCost.from_gp_and_goal_prior(gp, goal_prior, T)
+    dof_q = DofQuadraticCost.from_gp_and_goal_prior(gp, goal_prior, T)
+
+    rng = np.random.default_rng(3)
+    trajs = jnp.asarray(rng.normal(size=(8, T, 2 * DOF)))  # goal-major, 4/goal
+    ref = np.asarray(dense_q.eval(trajs))
+    got = np.asarray(dof_q.eval_dof_planes(to_dof_planes(trajs)))
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+    # no-goal variant
+    dense_q0 = QuadraticCost.from_gp_and_goal_prior(gp, None, T)
+    dof_q0 = DofQuadraticCost.from_gp_and_goal_prior(gp, None, T)
+    ref0 = np.asarray(dense_q0.eval(trajs))
+    got0 = np.asarray(dof_q0.eval_dof_planes(to_dof_planes(trajs)))
+    np.testing.assert_allclose(got0, ref0, rtol=1e-9, atol=1e-9)
+
+
+def test_panda_fast_stack_dof_parity():
+    """CostComposite([QuadraticCost, PlaneFieldsCost]).eval_dof_planes equals
+    the flat eval — the config-5 fast stack is exact in the dof layout."""
+    from stoch_gpmp_tpu.costs import CostComposite
+    from stoch_gpmp_tpu.costs.fused_fields import PlaneFieldsCost
+    from stoch_gpmp_tpu.kinematics import homogeneous, y_rot, z_rot
+    from stoch_gpmp_tpu.kinematics.panda_model import franka_panda
+
+    dtype = jnp.float64
+    t, n_dof = 9, 7
+    chain = franka_panda(dtype=dtype)
+    target_rot = z_rot(jnp.asarray(-np.pi, dtype=dtype)) @ y_rot(
+        jnp.asarray(-np.pi, dtype=dtype)
+    )
+    target_h = homogeneous(target_rot, jnp.asarray([0.3, 0.3, 0.3], dtype=dtype))
+    start_q = jnp.asarray(
+        [0.012, -0.57, 0.0, -2.81, 0.0, 3.037, 0.741], dtype=dtype
+    )
+    start = jnp.concatenate([start_q, jnp.zeros_like(start_q)])
+    goals = jnp.concatenate([start_q + 0.1, jnp.zeros_like(start_q)])[None]
+
+    gp = CostGP.create(
+        n_dof, t, start, 0.05,
+        {"sigma_start": 1e-4, "sigma_gp": 7e-4}, dtype=dtype,
+    )
+    goal_prior = CostGoalPrior.create(
+        n_dof, t, goals, sigma_goal_prior=20.0, dtype=dtype
+    )
+    cost = CostComposite.create(n_dof, t, [
+        QuadraticCost.from_gp_and_goal_prior(gp, goal_prior, t),
+        PlaneFieldsCost.create(
+            n_dof, t, chain, target_h, margin=0.03, sigma_self=0.01,
+            sigma_coll=0.01, sigma_goal=7e-5, use_pallas=False,
+        ),
+    ])
+    assert cost.supports_dof_planes()
+
+    rng = np.random.default_rng(5)
+    trajs = jnp.asarray(
+        start[None, None] + 0.2 * rng.normal(size=(6, t, 2 * n_dof)), dtype=dtype
+    )
+    spheres = np.zeros((1, 5, 4))
+    spheres[0, :, :3] = rng.uniform([0.6, -0.2, 0.6], [1.0, 0.2, 1.0], (5, 3))
+    spheres[0, :, 3] = rng.uniform(0.1, 0.2, 5)
+    obs = {"obstacle_spheres": jnp.asarray(spheres, dtype=dtype)}
+
+    ref = np.asarray(cost.eval(trajs, observation=obs))
+    got = np.asarray(cost.eval_dof_planes(to_dof_planes(trajs), observation=obs))
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_dof_optimize_path_descends():
+    """The planner routes the d=14 fast stack through the dof-plane path and
+    still descends with the start anchored."""
+    import jax
+
+    from stoch_gpmp_tpu.costs import CostComposite
+    from stoch_gpmp_tpu.costs.fused_fields import PlaneFieldsCost
+    from stoch_gpmp_tpu.gp.prior import make_gp_prior
+    from stoch_gpmp_tpu.kinematics import homogeneous, y_rot, z_rot
+    from stoch_gpmp_tpu.kinematics.panda_model import franka_panda
+    from stoch_gpmp_tpu.planners import (
+        SamplerModel, StochGPMPState, stoch_gpmp_optimize,
+    )
+
+    dtype = jnp.float32
+    t, n_dof = 16, 7
+    chain = franka_panda(dtype=dtype)
+    target_rot = z_rot(jnp.asarray(-np.pi, dtype=dtype)) @ y_rot(
+        jnp.asarray(-np.pi, dtype=dtype)
+    )
+    target_h = homogeneous(target_rot, jnp.asarray([0.3, 0.3, 0.3], dtype=dtype))
+    start_q = jnp.asarray(
+        [0.012, -0.57, 0.0, -2.81, 0.0, 3.037, 0.741], dtype=dtype
+    )
+    start = jnp.concatenate([start_q, jnp.zeros_like(start_q)])
+    goals = jnp.concatenate([start_q + 0.2, jnp.zeros_like(start_q)])[None]
+
+    gp = CostGP.create(
+        n_dof, t, start, 0.05,
+        {"sigma_start": 1e-4, "sigma_gp": 7e-4}, dtype=dtype,
+    )
+    goal_prior = CostGoalPrior.create(
+        n_dof, t, goals, sigma_goal_prior=20.0, dtype=dtype
+    )
+    cost = CostComposite.create(n_dof, t, [
+        QuadraticCost.from_gp_and_goal_prior(gp, goal_prior, t),
+        PlaneFieldsCost.create(
+            n_dof, t, chain, target_h, margin=0.03, sigma_self=0.01,
+            sigma_coll=0.01, sigma_goal=7e-5, use_pallas=False,
+        ),
+    ])
+    prior = make_gp_prior(n_dof, t, 0.05, start, 0.001, 0.1, sigma_goal=0.07,
+                          goal_states=goals, dtype=dtype)
+    sampler = SamplerModel.from_prior(prior)
+    assert sampler.dof is not None
+    means = jnp.repeat(prior.means, 3, axis=0)
+    state = StochGPMPState(particle_means=means, key=jax.random.PRNGKey(0))
+    obs = {}
+
+    c0 = float(cost.eval(means, observation=obs).mean())
+    new_state, aux, metrics = jax.jit(
+        lambda sa, c, st: stoch_gpmp_optimize(
+            sa, c, st, obs, opt_iters=30, num_samples=16,
+            temperature=1.0, step_size=0.1, collect_metrics=True,
+        )
+    )(sampler, cost, state)
+    m1 = np.asarray(new_state.particle_means)
+    assert np.isfinite(m1).all()
+    c1 = float(cost.eval(new_state.particle_means, observation=obs).mean())
+    assert c1 < c0
+    np.testing.assert_allclose(
+        m1[:, 0, :n_dof],
+        np.broadcast_to(np.asarray(start_q), (3, n_dof)),
+        rtol=0, atol=2e-2,
+    )
+    assert metrics.cost_mean.shape == (30,)
+    assert aux.samples.shape == (3, 16, t, 2 * n_dof)
+
+
+def test_matvec_matches_dense_precision():
+    _, _, dense, dof = _priors()
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(6, T, 2 * DOF)))
+    ref = np.asarray(dense.precision.matvec(x))
+    got = np.asarray(from_dof_planes(dof.matvec_planes(to_dof_planes(x))))
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
