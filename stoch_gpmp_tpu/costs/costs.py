@@ -315,6 +315,28 @@ class CostCollision(Cost):
         g = k * h * err_full[..., None]
         return GNContrib(diag=diag, lower=None, g=g)
 
+    def gn_rank1(self, trajs, x_trajs=None, observation=None, fk_trajs=None):
+        """Rank-1 structure of this cost's GN contribution: per timestep the
+        diag-block is ``k h_t h_t^T`` and the gradient is ``k h_t e_t``.
+        Returns ``(h [B, T, n_dof], e [B, T], k)`` — positions only (the
+        velocity components of the field Jacobian are zero). Consumed by the
+        GPMP Woodbury fast path (planners/gpmp.py)."""
+        k = 1.0 / (self.sigma_coll**2)
+
+        def total_err(tr):
+            x = fk_trajs(tr) if fk_trajs is not None else None
+            return jnp.sum(self._field_errors(tr, x, observation))
+
+        sl = self._slice()
+        t = trajs.shape[-2]
+        err = self._field_errors(trajs, x_trajs, observation)
+        grad_q = -jax.grad(total_err)(trajs)[..., sl, : self.n_dof]
+        h = jnp.zeros(trajs.shape[:-2] + (t, self.n_dof), dtype=trajs.dtype)
+        h = h.at[..., sl, :].set(grad_q)
+        e = jnp.zeros(trajs.shape[:-2] + (t,), dtype=trajs.dtype)
+        e = e.at[..., sl].set(err)
+        return h, e, k
+
 
 @struct.dataclass
 class CostGoal(Cost):
@@ -355,6 +377,24 @@ class CostGoal(Cost):
         diag = k * jnp.einsum("...ti,...tj->...tij", h, h)
         g = k * h * jnp.zeros(trajs.shape[:-1], dtype=trajs.dtype).at[..., -1].set(err)[..., None]
         return GNContrib(diag=diag, lower=None, g=g)
+
+    def gn_rank1(self, trajs, x_trajs=None, observation=None, fk_trajs=None):
+        """Rank-1 GN structure (see ``CostCollision.gn_rank1``): one active
+        column at the final timestep."""
+        k = 1.0 / (self.sigma_goal**2)
+
+        def total_err(tr):
+            x = fk_trajs(tr) if fk_trajs is not None else None
+            return jnp.sum(self._field_error(tr, x, observation))
+
+        t = trajs.shape[-2]
+        err = self._field_error(trajs, x_trajs, observation)  # [B]
+        grad_q = -jax.grad(total_err)(trajs)[..., -1, : self.n_dof]
+        h = jnp.zeros(trajs.shape[:-2] + (t, self.n_dof), dtype=trajs.dtype)
+        h = h.at[..., -1, :].set(grad_q)
+        e = jnp.zeros(trajs.shape[:-2] + (t,), dtype=trajs.dtype)
+        e = e.at[..., -1].set(err)
+        return h, e, k
 
 
 @struct.dataclass

@@ -25,6 +25,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from stoch_gpmp_tpu.gp.prior import make_gp_prior
@@ -35,6 +36,166 @@ from stoch_gpmp_tpu.gp.tridiag import BlockTridiag
 class GPMPState:
     particle_means: jnp.ndarray  # [P, T, d]
     key: jax.Array
+
+
+@struct.dataclass
+class WoodburyGN:
+    """Constant pieces of the parallel-in-time Woodbury GN solve.
+
+    The GN normal matrix splits as ``H = H0 + U D U^T`` where
+    ``H0 = A_quad + delta I`` is the (particle-independent, per-dof-decoupled
+    — gp/dof_factored.py) quadratic part and the field costs contribute ONE
+    rank-1 term per (cost, timestep): column ``u_r = e_{t_r} (x) h_r`` with
+    weight ``k_r`` (``Cost*.gn_rank1``). Woodbury then solves every
+    particle's system with NO sequential-over-T factorization:
+
+        x = H0i g - H0i U (D^{-1} + U^T H0i U)^{-1} U^T H0i g
+
+    — per-dof ``[.., 2T] @ [2T, 2T]`` MXU matmuls plus one batched
+    ``[P, R, R]`` Cholesky (R = n_fields * T). ``H0i`` is inverted once at
+    build time in float64 on the host (H0's condition number ~1e8-1e10 from
+    the 1/sigma^2 anchor weights makes an f32 inverse meaningless;
+    SURVEY.md §7 'f32-stable prior factorization').
+    """
+
+    h0i: jnp.ndarray  # [2T, 2T] per-dof (A_dof + delta I)^{-1}, symmetric
+    a_dof: jnp.ndarray  # [2T, 2T]
+    b_planes: jnp.ndarray  # [G, n_dof, 2T]
+    wpp_tiled: jnp.ndarray  # [R, R] = tile(h0i[:T, :T], (nf, nf))
+    cdiag: jnp.ndarray  # [R] capacitance diagonal 1/k_r
+    num_goals: int = struct.field(pytree_node=False)
+    n_dof: int = struct.field(pytree_node=False)
+    traj_len: int = struct.field(pytree_node=False)
+    n_fields: int = struct.field(pytree_node=False)
+
+
+def build_woodbury(cost: Any, delta: float) -> WoodburyGN | None:
+    """Classify a ``CostComposite``'s children and build the Woodbury model;
+    returns None when the stack doesn't decompose (non-isotropic quadratics
+    or a child without rank-1 GN structure)."""
+    from stoch_gpmp_tpu.costs.costs import CostGP, CostGoalPrior
+    from stoch_gpmp_tpu.costs.quadratic import QuadraticCost
+    from stoch_gpmp_tpu.gp.dof_factored import DofQuadraticCost
+
+    gp = goal_prior = dq = None
+    fields = []
+    for c in getattr(cost, "costs", ()):
+        if isinstance(c, QuadraticCost):
+            dq = c.dof_form
+            if dq is None:
+                return None
+        elif isinstance(c, CostGP):
+            gp = c
+        elif isinstance(c, CostGoalPrior):
+            goal_prior = c
+        elif hasattr(c, "gn_rank1"):
+            fields.append(c)
+        else:
+            return None
+    if dq is None:
+        if gp is None:
+            return None
+        try:
+            dq = DofQuadraticCost.from_gp_and_goal_prior(
+                gp, goal_prior, cost.traj_len
+            )
+        except ValueError:
+            return None
+    t = cost.traj_len
+    dtype = dq.a_dof.dtype
+    h0 = np.asarray(dq.a_dof, np.float64) + delta * np.eye(2 * t)
+    h0i = np.linalg.inv(h0)
+    h0i = 0.5 * (h0i + h0i.T)
+    nf = len(fields)
+    wpp = h0i[:t, :t]
+    wpp_tiled = np.tile(wpp, (max(nf, 1), max(nf, 1)))
+    cdiag = np.concatenate(
+        [np.full(t, c.sigma_coll**2 if hasattr(c, "sigma_coll")
+                 else c.sigma_goal**2) for c in fields]
+    ) if nf else np.zeros(0)
+    return WoodburyGN(
+        h0i=jnp.asarray(h0i, dtype=dtype),
+        a_dof=dq.a_dof,
+        b_planes=dq.b_planes,
+        wpp_tiled=jnp.asarray(wpp_tiled, dtype=dtype),
+        cdiag=jnp.asarray(cdiag, dtype=dtype),
+        num_goals=dq.num_goals,
+        n_dof=dq.n_dof,
+        traj_len=t,
+        n_fields=nf,
+    )
+
+
+def gpmp_step_woodbury(
+    wb: WoodburyGN,
+    cost: Any,
+    state: GPMPState,
+    observation: dict,
+    *,
+    step_size: float = 1.0,
+    shard_particles=None,
+) -> GPMPState:
+    """One GN update via the Woodbury split — parallel in time (no
+    sequential-over-T factorization; see ``WoodburyGN``). Exactly equal to
+    ``gpmp_step(method='cholesky')`` up to float rounding (tested)."""
+    from stoch_gpmp_tpu.gp.dof_factored import from_dof_planes, to_dof_planes
+
+    means = state.particle_means
+    if shard_particles is not None:
+        means = shard_particles(means)
+    p, t, d2 = means.shape
+    nd = d2 // 2
+    t2 = 2 * t
+
+    trajs = means
+    x_trajs = cost._fk_trajs(trajs) if cost.fk is not None else None
+    fk_trajs = cost._fk_trajs if cost.fk is not None else None
+    field_costs = [c for c in cost.costs if hasattr(c, "gn_rank1")]
+
+    mu_planes = to_dof_planes(means)  # [P, nd, 2T]
+    bg = jnp.repeat(wb.b_planes, p // wb.num_goals, axis=0)
+    g_planes = bg - (mu_planes.reshape(-1, t2) @ wb.a_dof).reshape(p, nd, t2)
+
+    if wb.n_fields:
+        hs, gs_pos = [], None
+        for c in field_costs:
+            h, e, k = c.gn_rank1(
+                trajs, x_trajs=x_trajs, observation=observation,
+                fk_trajs=fk_trajs,
+            )  # h [P, T, nd], e [P, T]
+            hs.append(h)
+            term = k * h * e[..., None]  # [P, T, nd]
+            gs_pos = term if gs_pos is None else gs_pos + term
+        g_planes = g_planes.at[..., :t].add(jnp.swapaxes(gs_pos, -1, -2))
+        h_all = jnp.concatenate(hs, axis=1)  # [P, R, nd], R = nf*T
+
+    y0 = (g_planes.reshape(-1, t2) @ wb.h0i).reshape(p, nd, t2)
+
+    if wb.n_fields:
+        nf = wb.n_fields
+        gram = jnp.einsum("pri,psi->prs", h_all, h_all)  # [P, R, R]
+        c_mat = gram * wb.wpp_tiled + jnp.diag(wb.cdiag)
+        y0p_tiled = jnp.tile(y0[..., :t], (1, 1, nf))  # [P, nd, R]
+        rhs = jnp.einsum("pri,pir->pr", h_all, y0p_tiled)
+        chol = jnp.linalg.cholesky(c_mat)
+        z = jax.lax.linalg.triangular_solve(
+            chol, rhs[..., None], left_side=True, lower=True,
+        )
+        z = jax.lax.linalg.triangular_solve(
+            chol, z, left_side=True, lower=True, transpose_a=True,
+        )[..., 0]  # [P, R]
+        zw = z.reshape(p, nf, t)
+        h_resh = h_all.reshape(p, nf, t, nd)
+        uz_pos = jnp.einsum("pft,pfti->pit", zw, h_resh)  # [P, nd, T]
+        uz = jnp.zeros_like(y0).at[..., :t].set(uz_pos)
+        x = y0 - (uz.reshape(-1, t2) @ wb.h0i).reshape(p, nd, t2)
+    else:
+        x = y0
+
+    d_theta = from_dof_planes(x)
+    if shard_particles is not None:
+        d_theta = shard_particles(d_theta)
+    return state.replace(particle_means=means + step_size * d_theta)
 
 
 def _solve_structured(diag, lower, g):
@@ -107,8 +268,36 @@ def gpmp_optimize(
     method: str = "cholesky",
     step_size: float = 1.0,
     shard_particles=None,
+    woodbury: WoodburyGN | None = None,
 ) -> GPMPState:
-    """``opt_iters`` Gauss-Newton updates under ``lax.scan``."""
+    """``opt_iters`` Gauss-Newton updates under ``lax.scan``.
+
+    ``method='woodbury'`` (requires ``woodbury=build_woodbury(cost, delta)``,
+    built outside jit) runs the parallel-in-time solve — equal to 'cholesky'
+    up to rounding, with no sequential-over-T factorization per iteration."""
+
+    if method == "woodbury":
+        if woodbury is None:
+            raise ValueError(
+                "method='woodbury' needs woodbury=build_woodbury(cost, delta)"
+            )
+        if trust_region:
+            raise ValueError(
+                "woodbury path supports trust_region=False only (the "
+                "trust-region damping re-dampens H0 per iteration)"
+            )
+
+        def wb_body(carry, _):
+            return (
+                gpmp_step_woodbury(
+                    woodbury, cost, carry, observation,
+                    step_size=step_size, shard_particles=shard_particles,
+                ),
+                None,
+            )
+
+        state, _ = jax.lax.scan(wb_body, state, None, length=opt_iters)
+        return state
 
     def body(carry, _):
         return (
@@ -229,6 +418,17 @@ class GPMP:
             jax.jit,
             static_argnames=("opt_iters", "delta", "trust_region", "method", "step_size"),
         )(gpmp_optimize)
+        # woodbury fast path: constant model built once outside jit
+        self._wb = None
+        if self.solver_params.get("method") == "woodbury":
+            self._wb = build_woodbury(
+                self.cost, float(self.solver_params["delta"])
+            )
+            if self._wb is None:
+                raise ValueError(
+                    "cost stack does not decompose for method='woodbury' "
+                    "(need isotropic quadratics + rank-1 field costs)"
+                )
 
     @property
     def particle_means(self):
@@ -251,6 +451,7 @@ class GPMP:
             trust_region=bool(self.solver_params["trust_region"]),
             method=self.solver_params["method"],
             step_size=self.step_size,
+            woodbury=self._wb,
         )
         means = self.state.particle_means
         costs = self.cost.eval(

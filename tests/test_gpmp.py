@@ -77,6 +77,111 @@ def test_gn_converges_to_quadratic_optimum_in_one_step():
     )
 
 
+def test_woodbury_matches_cholesky_quadratic():
+    """The Woodbury parallel-in-time GN step equals the structured Cholesky
+    step on the quadratic-only stack (f64, tight)."""
+    from stoch_gpmp_tpu.planners.gpmp import build_woodbury, gpmp_step_woodbury
+
+    cost, start, goals, n_dof, traj_len, dt = _quad_problem()
+    rng = np.random.default_rng(3)
+    means = jnp.asarray(rng.standard_normal((4, traj_len, 2 * n_dof)))
+    state = GPMPState(particle_means=means, key=jax.random.PRNGKey(0))
+    wb = build_woodbury(cost, 1e-3)
+    assert wb is not None and wb.n_fields == 0
+    s_ref = gpmp_step(cost, state, {}, delta=1e-3, trust_region=False,
+                      method="cholesky")
+    s_wb = gpmp_step_woodbury(wb, cost, state, {})
+    np.testing.assert_allclose(
+        np.asarray(s_wb.particle_means), np.asarray(s_ref.particle_means),
+        rtol=1e-8, atol=1e-9,
+    )
+
+
+def test_woodbury_matches_cholesky_with_fields():
+    """Rank-1 field contributions (occupancy collision) route through the
+    capacitance solve; equal to the structured path (f64)."""
+    from stoch_gpmp_tpu.planners.gpmp import build_woodbury, gpmp_step_woodbury
+
+    dtype = jnp.float64
+    n_dof, traj_len, dt = 2, 24, 0.05
+    start = jnp.asarray([-2.0, -2.0, 0.0, 0.0], dtype=dtype)
+    goals = jnp.asarray([[2.0, 2.0, 0.0, 0.0]], dtype=dtype)
+    # smooth field so the autograd Jacobians are informative at the means
+    xg, yg = jnp.meshgrid(jnp.arange(40, dtype=dtype), jnp.arange(40, dtype=dtype))
+    grid = jnp.exp(-((xg - 20.0) ** 2 + (yg - 20.0) ** 2) / 50.0)
+    from stoch_gpmp_tpu.costs import OccupancyGridField
+
+    field = OccupancyGridField(grid=grid, cell_size=0.1)
+    cost = CostComposite.create(
+        n_dof, traj_len,
+        [
+            CostGP.create(n_dof, traj_len, start, dt,
+                          {"sigma_start": 0.01, "sigma_gp": 0.5}, dtype=dtype),
+            CostGoalPrior.create(n_dof, traj_len, goals, sigma_goal_prior=0.02,
+                                 dtype=dtype),
+            CostCollision.create(n_dof, traj_len, field, sigma_coll=0.1),
+        ],
+    )
+    rng = np.random.default_rng(4)
+    means = jnp.asarray(0.5 * rng.standard_normal((3, traj_len, 2 * n_dof)))
+    state = GPMPState(particle_means=means, key=jax.random.PRNGKey(0))
+    wb = build_woodbury(cost, 1e-2)
+    assert wb is not None and wb.n_fields == 1
+    s_ref = gpmp_step(cost, state, {}, delta=1e-2, trust_region=False,
+                      method="cholesky", step_size=0.5)
+    s_wb = gpmp_step_woodbury(wb, cost, state, {}, step_size=0.5)
+    np.testing.assert_allclose(
+        np.asarray(s_wb.particle_means), np.asarray(s_ref.particle_means),
+        rtol=1e-7, atol=1e-9,
+    )
+
+
+def test_woodbury_panda_fk_fields():
+    """Woodbury with FK-routed field Jacobians (LinkDistanceField + SE(3)
+    goal) equals the structured path (f64)."""
+    from stoch_gpmp_tpu.costs import (
+        CostCollision, CostGoal, EESE3DistanceField, LinkDistanceField,
+    )
+    from stoch_gpmp_tpu.kinematics import homogeneous, z_rot
+    from stoch_gpmp_tpu.kinematics.panda_model import franka_panda
+    from stoch_gpmp_tpu.planners.gpmp import build_woodbury, gpmp_step_woodbury
+
+    dtype = jnp.float64
+    chain = franka_panda(dtype=dtype)
+    n_dof, traj_len, dt = 7, 8, 0.05
+    start_q = jnp.asarray([0.0, -0.5, 0.0, -2.0, 0.0, 2.0, 0.0], dtype=dtype)
+    start = jnp.concatenate([start_q, jnp.zeros_like(start_q)])
+    target_h = homogeneous(z_rot(jnp.asarray(0.3, dtype=dtype)),
+                           jnp.asarray([0.4, 0.2, 0.5], dtype=dtype))
+    cost = CostComposite.create(
+        n_dof, traj_len,
+        [
+            CostGP.create(n_dof, traj_len, start, dt,
+                          {"sigma_start": 0.001, "sigma_gp": 0.1}, dtype=dtype),
+            CostCollision.create(n_dof, traj_len, LinkDistanceField(), sigma_coll=0.1),
+            CostGoal.create(n_dof, traj_len, EESE3DistanceField(target_h=target_h),
+                            sigma_goal=0.05),
+        ],
+        fk=chain.fk,
+    )
+    rng = np.random.default_rng(5)
+    means = jnp.asarray(
+        start[None, None] + 0.1 * rng.standard_normal((2, traj_len, 2 * n_dof))
+    )
+    state = GPMPState(particle_means=means, key=jax.random.PRNGKey(0))
+    spheres = jnp.asarray([[[0.5, 0.0, 0.5, 0.1]]], dtype=dtype)
+    obs = {"obstacle_spheres": spheres}
+    wb = build_woodbury(cost, 1e-2)
+    assert wb is not None and wb.n_fields == 2
+    s_ref = gpmp_step(cost, state, obs, delta=1e-2, trust_region=False,
+                      method="cholesky", step_size=0.2)
+    s_wb = gpmp_step_woodbury(wb, cost, state, obs, step_size=0.2)
+    np.testing.assert_allclose(
+        np.asarray(s_wb.particle_means), np.asarray(s_ref.particle_means),
+        rtol=1e-7, atol=1e-9,
+    )
+
+
 def test_gpmp_planner_end_to_end_with_obstacles():
     dtype = jnp.float64
     n_dof, traj_len, dt = 2, 24, 0.05
