@@ -116,11 +116,52 @@ def solver_bench(t, n_samples=480, iters=50, chunks=4):
     return out
 
 
+def gn_bench(t, with_obstacles, method="woodbury", iters=20, chunks=3):
+    """Gauss-Newton (GPMP) iteration time at long horizons: the structured
+    sequential-over-T Cholesky vs the parallel-in-time Woodbury solve
+    (planners/gpmp.py). The reference's dense per-particle solve is O(M^3)
+    here (``planner.py:600-633``)."""
+    from stoch_gpmp_tpu.planners.gpmp import (
+        GPMPState, build_woodbury, gpmp_optimize,
+    )
+
+    sampler, cost, state = _problem(t, with_obstacles)
+    del sampler
+    gstate = GPMPState(particle_means=state.particle_means, key=state.key)
+    wb = build_woodbury(cost, 1e-2) if method == "woodbury" else None
+    run = jax.jit(lambda st: gpmp_optimize(
+        cost, st, {}, opt_iters=iters, delta=1e-2, trust_region=False,
+        method=method, step_size=0.5, woodbury=wb))
+    st = run(gstate)
+    np.asarray(st.particle_means)
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        st = run(st)
+    final = np.asarray(st.particle_means)
+    el = (time.perf_counter() - t0) / (iters * chunks)
+    assert np.isfinite(final).all()
+    return {
+        "config": f"gpmp-{method}-T{t}{'-obst' if with_obstacles else ''}",
+        "metric": "particle-trajectory updates/sec",
+        "value": round(15 / el, 1),
+        "ms_per_iter": round(el * 1e3, 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--horizons", type=int, nargs="+", default=[1024, 4096])
+    ap.add_argument("--planner", choices=["stochgpmp", "gpmp"],
+                    default="stochgpmp")
+    ap.add_argument("--gn-iters", type=int, default=20)
     args = ap.parse_args()
     for t in args.horizons:
+        if args.planner == "gpmp":
+            for method in ("woodbury", "cholesky"):
+                print(json.dumps(gn_bench(
+                    t, True, method=method, iters=args.gn_iters
+                )), flush=True)
+            continue
         print(json.dumps(solver_bench(t)), flush=True)
         print(json.dumps(iteration_bench(t, False)), flush=True)
         print(json.dumps(iteration_bench(t, True)), flush=True)

@@ -29,7 +29,8 @@ import numpy as np
 
 
 def run_episode(seed: int, iters: int, physics: str = "kinematic",
-                planner_kind: str = "native") -> dict:
+                planner_kind: str = "native",
+                contact_model: str = "spheres") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +69,32 @@ def run_episode(seed: int, iters: int, physics: str = "kinematic",
     # unwinnable (seed 0 spawned 1.7 cm from the static link-1 origin).
     # Rejection-resample such spawns, mirroring the reference map generator's
     # retry pattern (map_generator.py:64-89).
-    start_links = np.asarray(chain.fk_compact(start_q).positions)  # [L, 3]
+    # mesh-decomposition collision spheres in world frame at a given pose
+    # (kinematics/panda_collision.py — the geometry the env's default
+    # contact check uses since round 3)
+    from stoch_gpmp_tpu.kinematics.panda_collision import (
+        PANDA_COLLISION_SPHERES,
+    )
+
+    fk_names = list(chain.link_names)
+
+    def world_mesh_spheres(link_poses):  # [.., L, 4, 4] -> centers, radii
+        cs, rs = [], []
+        for frame, sph in PANDA_COLLISION_SPHERES.items():
+            c, r = np.asarray(sph[:, :3]), np.asarray(sph[:, 3])
+            if frame in fk_names:
+                h = link_poses[..., fk_names.index(frame), :, :]
+                cw = c @ np.swapaxes(h[..., :3, :3], -1, -2) + h[..., None, :3, 3]
+            else:  # static base (panda_link0): world frame
+                cw = np.broadcast_to(
+                    c, link_poses.shape[:-3] + c.shape
+                )
+            cs.append(cw)
+            rs.append(r)
+        return np.concatenate(cs, axis=-2), np.concatenate(rs)
+
+    start_poses = np.asarray(chain.fk(start_q[None]))[0]  # [L, 4, 4]
+    start_cw, start_rw = world_mesh_spheres(start_poses)
     spheres = np.zeros((1, 5, 4))
     for i in range(5):
         for _ in range(50):
@@ -76,7 +102,11 @@ def run_episode(seed: int, iters: int, physics: str = "kinematic",
                 0.1, 0.2, np.array([0.6, -0.2, 0.6]), np.array([1.0, 0.2, 1.0]),
                 0.01, rng=rng,
             )
-            clearance = np.linalg.norm(start_links - pos, axis=-1).min() - r
+            # spawn clearance vs the MESH surface (incl. the static base) —
+            # a spawn touching the real geometry is unwinnable by definition
+            clearance = (
+                np.linalg.norm(start_cw - pos, axis=-1) - start_rw
+            ).min() - r
             if clearance > 0.1:
                 break
         spheres[0, i, :3] = pos
@@ -123,20 +153,23 @@ def run_episode(seed: int, iters: int, physics: str = "kinematic",
         means = np.asarray(planner.particle_means)
 
     # collision-aware particle selection: among particles whose whole plan
-    # keeps every link clear of every (true-radius) obstacle with margin,
-    # pick the one whose final EE is closest to the target; fall back to the
-    # globally closest if none is clean
+    # keeps the MESH-decomposition surface clear of every (true-radius)
+    # obstacle with margin, pick the one whose final EE is closest to the
+    # target; fall back to the globally closest if none is clean
     ee = np.asarray(chain.ee_pose(jnp.asarray(means[:, -1, :n_dof])))
     ee_dist = np.linalg.norm(ee[:, :3, 3] - target_pos, axis=-1)
-    link_pos = np.asarray(
-        chain.fk_compact(jnp.asarray(means[..., :n_dof])).positions
-    )  # [P, T, L, 3]
+    p_, t_ = means.shape[0], means.shape[1]
+    plan_poses = np.asarray(
+        chain.fk(jnp.asarray(means[..., :n_dof].reshape(-1, n_dof)))
+    ).reshape(p_, t_, -1, 4, 4)
+    cw, rw = world_mesh_spheres(plan_poses)  # [P, T, N, 3], [N]
     d = (
         np.linalg.norm(
-            link_pos[..., None, :] - spheres[0, :, :3], axis=-1
+            cw[..., None, :] - spheres[0, :, :3], axis=-1
         )
+        - rw[None, None, :, None]
         - spheres[0, :, 3]
-    )  # [P, T, L, O] surface distances
+    )  # [P, T, N, O] mesh-surface to obstacle-surface distances
     clean = d.min(axis=(1, 2, 3)) > 0.03
     if np.any(clean):
         cand = np.where(clean)[0]
@@ -146,7 +179,8 @@ def run_episode(seed: int, iters: int, physics: str = "kinematic",
     plan_q = means[best, :, :n_dof]
 
     # closed-loop execution in the env with the same obstacles
-    env = PandaEnv(num_obst=5, seed=seed, frequency=24, physics=physics)
+    env = PandaEnv(num_obst=5, seed=seed, frequency=24, physics=physics,
+                   contact_model=contact_model)
     env.reset()
     env.panda.reset(q=np.asarray(start_q))
     for i, s in enumerate(env.spheres):
@@ -156,9 +190,12 @@ def run_episode(seed: int, iters: int, physics: str = "kinematic",
     env.set_goals([target_pos, target_pos + np.array([0, 0, 100.0])])
 
     contact = False
+    contact_by_model = {"spheres": False, "points": False}
     for t in range(plan_q.shape[0]):
         for _ in range(4):  # let the arm track each waypoint
             _, _, done, info = env.step(plan_q[t])
+            for k in contact_by_model:
+                contact_by_model[k] |= env.contact_verdicts[k]
         contact = contact or env.is_contact
         if env.goal_reached[0]:
             break
@@ -168,6 +205,8 @@ def run_episode(seed: int, iters: int, physics: str = "kinematic",
         "seed": seed,
         "goal_reached": bool(env.goal_reached[0]),
         "contact": bool(contact),
+        "contact_mesh_spheres": bool(contact_by_model["spheres"]),
+        "contact_points_legacy": bool(contact_by_model["points"]),
         "final_ee_dist": round(dist, 4),
         "success": bool(env.goal_reached[0] and not contact),
     }
@@ -181,9 +220,17 @@ def main():
                     help="arm stepping: velocity-limited tracker or computed-torque PD over RNEA forward dynamics")
     ap.add_argument("--planner", choices=["native", "reference"], default="native",
                     help="native = this framework; reference = /root/reference stoch_gpmp (torch CPU f64, torch_robotics shim)")
+    ap.add_argument("--contact-model", choices=["spheres", "points"],
+                    default="spheres",
+                    help="contact geometry deciding success: 'spheres' = "
+                    "92-sphere decomposition of the actual collision meshes "
+                    "(default); 'points' = legacy link-origin check. BOTH "
+                    "verdicts are reported per episode either way.")
     args = ap.parse_args()
     results = [
-        run_episode(s, args.iters, physics=args.physics, planner_kind=args.planner)
+        run_episode(s, args.iters, physics=args.physics,
+                    planner_kind=args.planner,
+                    contact_model=args.contact_model)
         for s in range(args.seeds)
     ]
     for r in results:
@@ -192,8 +239,11 @@ def main():
     print(json.dumps({
         "planner": f"{args.planner} panda closed-loop",
         "physics": args.physics,
+        "contact_model": args.contact_model,
         "success_rate": round(rate, 3),
         "episodes": len(results),
+        "mesh_sphere_contacts": int(np.sum([r["contact_mesh_spheres"] for r in results])),
+        "legacy_point_contacts": int(np.sum([r["contact_points_legacy"] for r in results])),
         "criterion": "EE within 0.125 m, no contact (reference envs/panda.py:489)",
     }), flush=True)
 

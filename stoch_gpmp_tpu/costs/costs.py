@@ -429,15 +429,15 @@ class CostComposite(Cost):
         return total
 
     def supports_dof_planes(self) -> bool:
-        """True when every child evaluates on per-DOF plane-major state
-        ``[B, d, 2T]`` (the dof-factored fast path, gp/dof_factored.py)."""
+        """True when every child evaluates on dof-LEADING plane-major state
+        ``[d, B, 2T]`` (the dof-factored fast path, gp/dof_factored.py)."""
         return self.fk is None and all(
             getattr(c, "supports_dof_planes", lambda: hasattr(c, "eval_dof_planes"))()
             for c in self.costs
         )
 
     def eval_dof_planes(self, x_planes, observation=None):
-        """Sum of child costs on the dof-factored batch ``[B, d, 2T]``
+        """Sum of child costs on the dof-factored batch ``[d, B, 2T]``
         (requires ``supports_dof_planes()``)."""
         total = None
         for c in self.costs:

@@ -206,12 +206,12 @@ class PlaneFieldsCost(Cost):
         return True
 
     def eval_dof_planes(self, x_planes, observation=None):
-        """Dof-factored entry: ``x_planes [B, d, 2T]`` per-dof plane-major
+        """Dof-factored entry: ``x_planes [d, B, 2T]`` dof-LEADING plane-major
         state (gp/dof_factored.py). The position planes are the first T lanes
-        of each dof row — exact static slices, no selection matmul — and feed
-        ``eval_planes`` directly."""
+        of each dof slice — exact static slices, no selection matmul — and
+        feed ``eval_planes`` directly."""
         t = x_planes.shape[-1] // 2
-        planes = tuple(x_planes[..., i, :t] for i in range(self.n_dof))
+        planes = tuple(x_planes[i, :, :t] for i in range(self.n_dof))
         return self.eval_planes(planes, observation=observation)
 
     def eval_planes(self, planes, observation=None):

@@ -221,6 +221,31 @@ class PandaEnv:
         # interpolation range mirrors the reference field default
         # ``link_interpolate_range=[5, 7]``, fields.py:32).
         self._contact_interpolate = int(kwargs.get("contact_interpolate", 2))
+        # contact geometry: 'spheres' (default) checks a 92-sphere
+        # decomposition of the ACTUAL collision meshes the reference's
+        # getClosestPoints uses (kinematics/panda_collision.py — every
+        # sampled mesh-surface point lies inside a sphere, so this check
+        # over-approximates mesh contact); 'points' is the legacy
+        # origin+interpolation check. Both verdicts are recorded per step in
+        # ``contact_verdicts`` for A/B comparison.
+        self._contact_model = kwargs.get("contact_model", "spheres")
+        if self._contact_model not in ("spheres", "points"):
+            raise ValueError(f"unknown contact_model: {self._contact_model!r}")
+        from stoch_gpmp_tpu.kinematics.panda_collision import (
+            PANDA_COLLISION_SPHERES,
+        )
+
+        names = list(self.panda.chain.link_names)
+        self._mesh_spheres = []  # (frame idx | None=world/base, centers, radii)
+        for frame, sph in PANDA_COLLISION_SPHERES.items():
+            idx = names.index(frame) if frame in names else None
+            self._mesh_spheres.append(
+                (idx, np.asarray(sph[:, :3]), np.asarray(sph[:, 3]))
+            )
+        # base/link1 column spheres legitimately rest at the floor (the
+        # reference's floor check allows the single standing contact point)
+        self._floor_exempt_frames = {None, names.index("panda_link1")}
+        self.contact_verdicts = {"spheres": False, "points": False}
         self._obstacles = {"spheres": [], "boxes": []}
         self._rng = np.random.default_rng(self._seed)
         self._init_spheres()
@@ -386,19 +411,45 @@ class PandaEnv:
         pass
 
     # ------------------------------------------------------------------ #
-    def _check_contact(self) -> bool:
-        link_poses = self.panda.link_poses()  # [L, 4, 4]
-        # floor contact: any link origin at/below the floor threshold
-        # (skip link1/link2 whose origins sit at the fixed base column)
-        if np.any(link_poses[2:, 2, 3] <= self.max_floor_dist):
-            return True
-        lp = jnp.asarray(link_poses)[None]
-        if bool(self._self_field.compute_collision(lp, buffer=0.05)[0]):
-            return True
-        if self.spheres:
-            spheres = np.stack(
-                [np.concatenate([s.base_position, [s.scale]]) for s in self.spheres]
+    def _world_collision_spheres(self, link_poses):
+        """Mesh-decomposition spheres in world frame: ``(centers [N, 3],
+        radii [N], floor_check_mask [N])``."""
+        cs, rs, fm = [], [], []
+        for idx, c, r in self._mesh_spheres:
+            if idx is None:
+                cs.append(c)
+            else:
+                h = link_poses[idx]
+                cs.append(c @ h[:3, :3].T + h[:3, 3])
+            rs.append(r)
+            fm.append(
+                np.full(len(r), idx not in self._floor_exempt_frames)
             )
+        return np.concatenate(cs), np.concatenate(rs), np.concatenate(fm)
+
+    def _check_contact(self) -> bool:
+        """Contact vs floor / self / obstacles (reference ``panda.py:453-481``
+        getClosestPoints semantics). Computes BOTH geometry models (mesh-
+        sphere decomposition and legacy origin points) into
+        ``contact_verdicts`` and returns the configured one."""
+        link_poses = self.panda.link_poses()  # [L, 4, 4]
+        self_hit = bool(self._self_field.compute_collision(
+            jnp.asarray(link_poses)[None], buffer=0.05
+        )[0])
+        obst = (
+            np.stack([
+                np.concatenate([s.base_position, [s.scale]])
+                for s in self.spheres
+            ])
+            if self.spheres else None
+        )
+
+        # --- legacy point model: link origins + interpolated forearm points
+        pts_floor = bool(
+            np.any(link_poses[2:, 2, 3] <= self.max_floor_dist)
+        )
+        pts_obst = False
+        if obst is not None:
             pts = link_poses[:, :3, 3]  # [L, 3]
             if self._contact_interpolate > 0:
                 from stoch_gpmp_tpu.costs.fields import _interpolate_links
@@ -409,12 +460,28 @@ class PandaEnv:
                     )
                 )
             d = (
-                np.linalg.norm(pts[:, None, :] - spheres[None, :, :3], axis=-1)
-                - spheres[None, :, 3]
+                np.linalg.norm(pts[:, None, :] - obst[None, :, :3], axis=-1)
+                - obst[None, :, 3]
             )
-            if bool(np.any(d < self.max_obs_dist + 0.02)):
-                return True
-        return False
+            pts_obst = bool(np.any(d < self.max_obs_dist + 0.02))
+        self.contact_verdicts["points"] = pts_floor or self_hit or pts_obst
+
+        # --- mesh-sphere model: the collision-mesh decomposition
+        cw, rw, fmask = self._world_collision_spheres(link_poses)
+        sph_floor = bool(
+            np.any(cw[fmask, 2] - rw[fmask] <= self.max_floor_dist)
+        )
+        sph_obst = False
+        if obst is not None:
+            d = (
+                np.linalg.norm(cw[:, None, :] - obst[None, :, :3], axis=-1)
+                - rw[:, None]
+                - obst[None, :, 3]
+            )
+            sph_obst = bool(np.any(d < self.max_obs_dist))
+        self.contact_verdicts["spheres"] = sph_floor or self_hit or sph_obst
+
+        return self.contact_verdicts[self._contact_model]
 
     def cost_function(self) -> np.ndarray:
         gain = 1e2

@@ -78,22 +78,33 @@ def _dof2_block(k: jnp.ndarray, n_dof: int) -> jnp.ndarray:
 
 
 def to_dof_planes(x: jnp.ndarray) -> jnp.ndarray:
-    """``[..., T, 2d] -> [..., d, 2T]`` (per-dof position plane then velocity
-    plane). Layout-conversion boundary: call once at optimize entry/exit."""
+    """``[..., T, 2d] -> [d, ..., 2T]`` (per-dof position plane then velocity
+    plane, dof axis LEADING). Layout-conversion boundary: call once at
+    optimize entry/exit.
+
+    The dof axis must be leading (not second-minor): a ``[..., d, 2T]``
+    layout tiles d onto 8-sublane vregs (14 -> 16 padding) and every
+    ``reshape(-1, 2T)`` for the per-dof matmuls then REPACKS the whole
+    batch — the known d-minor relayout trap (docs/PERFORMANCE.md). With d
+    leading, merging it into the matmul batch is free."""
     t, d2 = x.shape[-2], x.shape[-1]
     d = d2 // 2
     y = x.reshape(x.shape[:-2] + (t, 2, d))
-    y = jnp.swapaxes(y, -3, -1)  # [..., d, 2, T]
-    return y.reshape(x.shape[:-2] + (d, 2 * t))
+    nb = y.ndim - 3
+    perm = (y.ndim - 1,) + tuple(range(nb)) + (y.ndim - 2, y.ndim - 3)
+    y = jnp.transpose(y, perm)  # [d, ..., 2, T]
+    return y.reshape((d,) + x.shape[:-2] + (2 * t,))
 
 
 def from_dof_planes(x_planes: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`to_dof_planes`: ``[..., d, 2T] -> [..., T, 2d]``."""
-    d, t2 = x_planes.shape[-2], x_planes.shape[-1]
+    """Inverse of :func:`to_dof_planes`: ``[d, ..., 2T] -> [..., T, 2d]``."""
+    d, t2 = x_planes.shape[0], x_planes.shape[-1]
     t = t2 // 2
-    y = x_planes.reshape(x_planes.shape[:-2] + (d, 2, t))
-    y = jnp.swapaxes(y, -3, -1)  # [..., T, 2, d]
-    return y.reshape(x_planes.shape[:-2] + (t, 2 * d))
+    y = x_planes.reshape((d,) + x_planes.shape[1:-1] + (2, t))
+    nb = y.ndim - 3
+    perm = tuple(range(1, nb + 1)) + (y.ndim - 1, y.ndim - 2, 0)
+    y = jnp.transpose(y, perm)  # [..., T, 2, d]
+    return y.reshape(x_planes.shape[1:-1] + (t, 2 * d))
 
 
 @struct.dataclass
@@ -112,17 +123,17 @@ class DofFactoredPrior:
     traj_len: int = struct.field(pytree_node=False)
 
     def sample_planes(self, key, mu_planes: jnp.ndarray, num_samples: int):
-        """Draw ``[P, S, d, 2T]`` samples around ``mu_planes [P, d, 2T]``;
+        """Draw ``[d, P, S, 2T]`` samples around ``mu_planes [d, P, 2T]``;
         returns ``(samples, corr)``."""
-        p, d, t2 = mu_planes.shape
+        d, p, t2 = mu_planes.shape
         eps = jax.random.normal(
-            key, (p, num_samples, d, t2), dtype=mu_planes.dtype
+            key, (d, p, num_samples, t2), dtype=mu_planes.dtype
         )
         corr = (eps.reshape(-1, t2) @ self.w_dof).reshape(eps.shape)
-        return mu_planes[:, None] + corr, corr
+        return mu_planes[:, :, None] + corr, corr
 
     def matvec_planes(self, x_planes: jnp.ndarray) -> jnp.ndarray:
-        """``Sigma^{-1} x`` per dof: ``[..., d, 2T] @ [2T, 2T]``."""
+        """``Sigma^{-1} x`` per dof: ``[d, ..., 2T] @ [2T, 2T]``."""
         t2 = x_planes.shape[-1]
         return (x_planes.reshape(-1, t2) @ self.prec_dof).reshape(x_planes.shape)
 
@@ -232,11 +243,12 @@ class DofQuadraticCost:
         )
 
     def eval_dof_planes(self, x_planes: jnp.ndarray, observation=None) -> jnp.ndarray:
-        """``x_planes [B, d, 2T]`` (goal-major batch) -> ``[B]`` costs."""
-        b, d, t2 = x_planes.shape
-        xa = (x_planes.reshape(-1, t2) @ self.a_dof).reshape(b, d, t2)
-        quad = jnp.sum(xa * x_planes, axis=(-2, -1))
-        xg = x_planes.reshape(self.num_goals, -1, d, t2)
-        lin = jnp.einsum("gbdk,gdk->gb", xg, self.b_planes).reshape(b)
+        """``x_planes [d, B, 2T]`` (dof-leading, goal-major batch) -> ``[B]``
+        costs."""
+        d, b, t2 = x_planes.shape
+        xa = (x_planes.reshape(-1, t2) @ self.a_dof).reshape(d, b, t2)
+        quad = jnp.sum(xa * x_planes, axis=(0, -1))
+        xg = x_planes.reshape(d, self.num_goals, -1, t2)
+        lin = jnp.einsum("dgbk,gdk->gb", xg, self.b_planes).reshape(b)
         cg = jnp.repeat(self.c, b // self.num_goals)
         return quad - 2.0 * lin + cg

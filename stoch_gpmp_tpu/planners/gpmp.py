@@ -152,9 +152,11 @@ def gpmp_step_woodbury(
     fk_trajs = cost._fk_trajs if cost.fk is not None else None
     field_costs = [c for c in cost.costs if hasattr(c, "gn_rank1")]
 
-    mu_planes = to_dof_planes(means)  # [P, nd, 2T]
-    bg = jnp.repeat(wb.b_planes, p // wb.num_goals, axis=0)
-    g_planes = bg - (mu_planes.reshape(-1, t2) @ wb.a_dof).reshape(p, nd, t2)
+    mu_planes = to_dof_planes(means)  # [nd, P, 2T] (dof-leading)
+    bg = jnp.transpose(
+        jnp.repeat(wb.b_planes, p // wb.num_goals, axis=0), (1, 0, 2)
+    )  # [nd, P, 2T]
+    g_planes = bg - (mu_planes.reshape(-1, t2) @ wb.a_dof).reshape(nd, p, t2)
 
     if wb.n_fields:
         hs, gs_pos = [], None
@@ -166,17 +168,19 @@ def gpmp_step_woodbury(
             hs.append(h)
             term = k * h * e[..., None]  # [P, T, nd]
             gs_pos = term if gs_pos is None else gs_pos + term
-        g_planes = g_planes.at[..., :t].add(jnp.swapaxes(gs_pos, -1, -2))
+        g_planes = g_planes.at[..., :t].add(
+            jnp.transpose(gs_pos, (2, 0, 1))
+        )
         h_all = jnp.concatenate(hs, axis=1)  # [P, R, nd], R = nf*T
 
-    y0 = (g_planes.reshape(-1, t2) @ wb.h0i).reshape(p, nd, t2)
+    y0 = (g_planes.reshape(-1, t2) @ wb.h0i).reshape(nd, p, t2)
 
     if wb.n_fields:
         nf = wb.n_fields
         gram = jnp.einsum("pri,psi->prs", h_all, h_all)  # [P, R, R]
         c_mat = gram * wb.wpp_tiled + jnp.diag(wb.cdiag)
-        y0p_tiled = jnp.tile(y0[..., :t], (1, 1, nf))  # [P, nd, R]
-        rhs = jnp.einsum("pri,pir->pr", h_all, y0p_tiled)
+        y0p_tiled = jnp.tile(y0[..., :t], (1, 1, nf))  # [nd, P, R]
+        rhs = jnp.einsum("pri,ipr->pr", h_all, y0p_tiled)
         chol = jnp.linalg.cholesky(c_mat)
         z = jax.lax.linalg.triangular_solve(
             chol, rhs[..., None], left_side=True, lower=True,
@@ -186,9 +190,9 @@ def gpmp_step_woodbury(
         )[..., 0]  # [P, R]
         zw = z.reshape(p, nf, t)
         h_resh = h_all.reshape(p, nf, t, nd)
-        uz_pos = jnp.einsum("pft,pfti->pit", zw, h_resh)  # [P, nd, T]
+        uz_pos = jnp.einsum("pft,pfti->ipt", zw, h_resh)  # [nd, P, T]
         uz = jnp.zeros_like(y0).at[..., :t].set(uz_pos)
-        x = y0 - (uz.reshape(-1, t2) @ wb.h0i).reshape(p, nd, t2)
+        x = y0 - (uz.reshape(-1, t2) @ wb.h0i).reshape(nd, p, t2)
     else:
         x = y0
 

@@ -315,20 +315,21 @@ def _stoch_gpmp_optimize_dof(
 
     def step(mu_planes, key):
         key, sub = jax.random.split(key)
-        x, corr = dof.sample_planes(sub, mu_planes, num_samples)  # [P,S,d,2T]
+        x, corr = dof.sample_planes(sub, mu_planes, num_samples)  # [d,P,S,2T]
         costs = cost.eval_dof_planes(
-            x.reshape(p * num_samples, d2 // 2, 2 * t), observation=observation
+            x.reshape(d2 // 2, p * num_samples, 2 * t),
+            observation=observation,
         ).reshape(p, num_samples)
-        pu = dof.matvec_planes(mu_planes)  # [P, d, 2T]
-        costs = costs + temperature * jnp.einsum("psdk,pdk->ps", x, pu)
+        pu = dof.matvec_planes(mu_planes)  # [d, P, 2T]
+        costs = costs + temperature * jnp.einsum("dpsk,dpk->ps", x, pu)
         weights = jax.nn.softmax(-costs / temperature, axis=1)
-        grad = jnp.einsum("ps,psdk->pdk", weights, corr)
+        grad = jnp.einsum("ps,dpsk->dpk", weights, corr)
         new_mu = mu_planes + step_size * grad
         return new_mu, key, costs, weights, grad, x
 
     def _metrics(costs, weights, grad):
         entropy = -jnp.sum(weights * jnp.log(weights + 1e-30), axis=1).mean()
-        nrm = jnp.sqrt(jnp.sum(grad * grad, axis=(-2, -1)))
+        nrm = jnp.sqrt(jnp.sum(grad * grad, axis=(0, -1)))
         return IterMetrics(
             cost_mean=costs.mean(), cost_min=costs.min(),
             weight_entropy=entropy, update_norm=(step_size * nrm).mean(),

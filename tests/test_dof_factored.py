@@ -92,13 +92,13 @@ def test_layout_roundtrip():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(4, 7, T, 2 * DOF)))
     planes = to_dof_planes(x)
-    assert planes.shape == (4, 7, DOF, 2 * T)
-    # plane s<T of dof k is the position sequence
+    assert planes.shape == (DOF, 4, 7, 2 * T)  # dof axis LEADING
+    # first T lanes of dof k is its position sequence, last T its velocities
     np.testing.assert_array_equal(
-        np.asarray(planes[..., 1, :T]), np.asarray(x[..., :, 1])
+        np.asarray(planes[1, ..., :T]), np.asarray(x[..., :, 1])
     )
     np.testing.assert_array_equal(
-        np.asarray(planes[..., 1, T:]), np.asarray(x[..., :, DOF + 1])
+        np.asarray(planes[1, ..., T:]), np.asarray(x[..., :, DOF + 1])
     )
     np.testing.assert_array_equal(np.asarray(from_dof_planes(planes)), np.asarray(x))
 

@@ -258,8 +258,10 @@ def test_contact_interpolation_catches_mid_segment_sphere():
     caught by the interpolated contact points (the mesh-contact analogue)."""
     import jax.numpy as jnp
 
-    env = PandaEnv(num_obst=1, seed=0, contact_interpolate=2)
-    env_origins_only = PandaEnv(num_obst=1, seed=0, contact_interpolate=0)
+    env = PandaEnv(num_obst=1, seed=0, contact_interpolate=2,
+                   contact_model="points")
+    env_origins_only = PandaEnv(num_obst=1, seed=0, contact_interpolate=0,
+                                contact_model="points")
     lp = env.panda.link_poses()
     mid = 0.5 * (lp[5, :3, 3] + lp[6, :3, 3])
     for e in (env, env_origins_only):
@@ -269,3 +271,37 @@ def test_contact_interpolation_catches_mid_segment_sphere():
         s.base_linear_velocity = np.zeros(3)
     assert env._check_contact()
     assert not env_origins_only._check_contact()
+    # the mesh-sphere model (default) catches it even without interpolation:
+    # the forearm's collision-mesh spheres cover the whole segment
+    assert env_origins_only.contact_verdicts["spheres"]
+
+
+def test_mesh_sphere_contact_model():
+    """The default contact geometry is the collision-mesh sphere
+    decomposition: it flags a sphere touching the elbow VOLUME that the
+    legacy point check misses, agrees with it on far-away obstacles, and
+    leaves the resting arm contact-free."""
+    env = PandaEnv(num_obst=1, seed=0)
+    assert env._contact_model == "spheres"
+    s = env.spheres[0]
+    s.base_linear_velocity = np.zeros(3)
+
+    # far away: both models clear, and the resting pose is contact-free
+    s.base_position = np.asarray([5.0, 5.0, 5.0])
+    s.scale = 0.1
+    assert not env._check_contact()
+    assert not env.contact_verdicts["points"]
+
+    # touching the elbow volume: offset from the link-4 origin by ~7 cm
+    # perpendicular, with a 4 cm sphere — inside the mesh decomposition's
+    # coverage but out of reach of the origin/interpolation points
+    lp = env.panda.link_poses()
+    cw, rw, _ = env._world_collision_spheres(lp)
+    # pick the mesh sphere farthest from every link origin to probe volume
+    origins = lp[:, :3, 3]
+    d_orig = np.linalg.norm(cw[:, None] - origins[None], axis=-1).min(axis=1)
+    probe = int(np.argmax(d_orig))
+    direction = np.asarray([0.0, 0.0, 1.0])
+    s.base_position = cw[probe] + direction * (rw[probe] + 0.01)
+    s.scale = 0.02
+    assert env._check_contact()  # 1 cm gap < r_obst 2 cm -> touching
