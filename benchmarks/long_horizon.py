@@ -148,13 +148,111 @@ def gn_bench(t, with_obstacles, method="woodbury", iters=20, chunks=3):
     }
 
 
+def _panda_problem_lh(t, with_fields):
+    """d=14 long-horizon problem: dense-free quadratic stack (the [M, M]
+    QuadraticCost at T=1024 would be 3.3 GB), optionally + the Pallas
+    field cost."""
+    from stoch_gpmp_tpu.costs import CostComposite, CostGP, CostGoalPrior
+    from stoch_gpmp_tpu.gp.dof_factored import DofQuadraticCost
+    from stoch_gpmp_tpu.gp.prior import make_gp_prior
+    from stoch_gpmp_tpu.kinematics import homogeneous, y_rot, z_rot
+    from stoch_gpmp_tpu.kinematics.panda_model import franka_panda
+    from stoch_gpmp_tpu.planners import SamplerModel, StochGPMPState
+
+    dtype = jnp.float32
+    dt = 0.05
+    chain = franka_panda(dtype=dtype)
+    n_dof = chain.n_dofs
+    start_q = jnp.asarray(
+        [0.012, -0.57, 0.0, -2.81, 0.0, 3.037, 0.741], dtype=dtype
+    )
+    start = jnp.concatenate([start_q, jnp.zeros_like(start_q)])
+    goals = jnp.concatenate([start_q + 0.3, jnp.zeros_like(start_q)])[None]
+    gp = CostGP.create(n_dof, t, start, dt,
+                       {"sigma_start": 1e-4, "sigma_gp": 7e-4}, dtype=dtype)
+    goal_prior = CostGoalPrior.create(
+        n_dof, t, goals, sigma_goal_prior=20.0, dtype=dtype
+    )
+    dq = DofQuadraticCost.from_gp_and_goal_prior(gp, goal_prior, t)
+    costs = [dq]
+    obs = {}
+    if with_fields:
+        from stoch_gpmp_tpu.costs.fused_fields import PlaneFieldsCost
+
+        target_rot = z_rot(jnp.asarray(-np.pi, dtype=dtype)) @ y_rot(
+            jnp.asarray(-np.pi, dtype=dtype)
+        )
+        target_h = homogeneous(
+            target_rot, jnp.asarray([0.3, 0.3, 0.3], dtype=dtype)
+        )
+        costs.append(PlaneFieldsCost.create(
+            n_dof, t, chain, target_h, margin=0.03, sigma_self=0.01,
+            sigma_coll=0.01, sigma_goal=7e-5, build_selection=False,
+        ))
+        rng = np.random.default_rng(0)
+        spheres = np.zeros((1, 5, 4))
+        spheres[0, :, :3] = rng.uniform([0.6, -0.2, 0.6], [1.0, 0.2, 1.0], (5, 3))
+        spheres[0, :, 3] = rng.uniform(0.1, 0.2, 5)
+        obs = {"obstacle_spheres": jnp.asarray(spheres, dtype=dtype)}
+    cost = CostComposite.create(n_dof, t, costs)
+    prior = make_gp_prior(n_dof, t, dt, start, 0.001, 0.1, sigma_goal=0.07,
+                          goal_states=goals, dtype=dtype)
+    sampler = SamplerModel.from_prior(prior)
+    means = jnp.repeat(prior.means, 15, axis=0)
+    state = StochGPMPState(
+        particle_means=means, key=jax.random.key(0, impl="unsafe_rbg")
+    )
+    return sampler, cost, state, obs
+
+
+def panda_bench(t, with_fields, path="dof", iters=30, chunks=3,
+                num_samples=8):
+    """d=14 long-horizon iteration time: the dof-factored dense-apply path
+    vs the legacy structured (pscan-sampling, d-minor-layout cost) path —
+    the VERDICT r2 weak-#7 A/B. ``path='legacy'`` forces the legacy route
+    via an identity sharding constraint."""
+    from stoch_gpmp_tpu.planners import stoch_gpmp_optimize
+
+    sampler, cost, state, obs = _panda_problem_lh(t, with_fields)
+    kw = {}
+    if path == "legacy":
+        kw["shard_samples"] = lambda x: x
+    run = jax.jit(lambda st: stoch_gpmp_optimize(
+        sampler, cost, st, obs, opt_iters=iters, num_samples=num_samples,
+        temperature=1.0, step_size=0.1, **kw)[0])
+    st = run(state)
+    np.asarray(st.particle_means)
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        st = run(st)
+    final = np.asarray(st.particle_means)
+    el = (time.perf_counter() - t0) / (iters * chunks)
+    assert np.isfinite(final).all()
+    return {
+        "config": f"panda-d14-T{t}-{path}{'-fields' if with_fields else ''}",
+        "metric": "particle-trajectory updates/sec",
+        "value": round(15 / el, 1),
+        "ms_per_iter": round(el * 1e3, 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--horizons", type=int, nargs="+", default=[1024, 4096])
     ap.add_argument("--planner", choices=["stochgpmp", "gpmp"],
                     default="stochgpmp")
     ap.add_argument("--gn-iters", type=int, default=20)
+    ap.add_argument("--panda", action="store_true",
+                    help="d=14 long-horizon A/B (dof dense-apply vs legacy "
+                    "pscan path); horizons with 2T <= 2048 only for dof")
     args = ap.parse_args()
+    if args.panda:
+        for t in args.horizons:
+            if 2 * t <= 2048:
+                print(json.dumps(panda_bench(t, False, "dof")), flush=True)
+                print(json.dumps(panda_bench(t, True, "dof")), flush=True)
+            print(json.dumps(panda_bench(t, False, "legacy")), flush=True)
+        return
     for t in args.horizons:
         if args.planner == "gpmp":
             for method in ("woodbury", "cholesky"):

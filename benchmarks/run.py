@@ -282,8 +282,64 @@ def config_4():
     return {"config": "panda-parity", "particles": 5, "value": ups, "iters_per_sec": ips}
 
 
+def _timed_fused_panda_dof(num_goals=10, ppg=128, num_samples=8,
+                           opt_iters=50, n_chunks=3):
+    """Config-5 throughput via the fused dof-factored Pallas kernel
+    (ops/pallas/panda_step_dof.py; TPU-only — None elsewhere)."""
+    if jax.default_backend() != "tpu":
+        return None
+    from stoch_gpmp_tpu.gp.dof_factored import to_dof_planes
+    from stoch_gpmp_tpu.ops.pallas.panda_step_dof import (
+        fused_panda_dof_optimize,
+        make_fused_panda_dof_step,
+    )
+
+    sampler, cost, state, obs, s = _panda_problem(
+        num_goals=num_goals, ppg=ppg, traj_len=128, num_samples=num_samples
+    )
+    quad, fields = cost.costs
+    dq = quad.dof_form
+    p = state.particle_means.shape[0]
+    b_planes_p = jnp.repeat(
+        jnp.transpose(dq.b_planes, (1, 0, 2)), p // dq.num_goals, axis=1
+    )
+    step = make_fused_panda_dof_step(
+        chain=fields.chain, w_dof=sampler.dof.w_dof, a_dof=dq.a_dof,
+        b_planes_p=b_planes_p, prec_dof=sampler.dof.prec_dof,
+        spheres=obs["obstacle_spheres"],
+        target_h=np.asarray(fields.target_h, dtype=np.float64),
+        n_dof=7, traj_len=128, num_samples=s, margin=fields.margin,
+        w_self=1.0 / fields.sigma_self**2,
+        w_obst=1.0 / fields.sigma_coll**2,
+        w_goal=1.0 / fields.sigma_goal**2,
+        temperature=1.0, step_size=0.1,
+    )
+    run = jax.jit(lambda m, k: fused_panda_dof_optimize(step, m, k, opt_iters))
+    mu = to_dof_planes(state.particle_means)
+    m1, k1 = run(mu, state.key)
+    _ = np.asarray(m1)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        m1, k1 = run(m1, k1)
+    final = np.asarray(m1)
+    elapsed = time.perf_counter() - t0
+    assert np.all(np.isfinite(final))
+    iters = n_chunks * opt_iters
+    return p * iters / elapsed, iters / elapsed
+
+
 def config_5():
-    """multi-goal panda scaling: 10 goals x 128 particles, T=128."""
+    """multi-goal panda scaling: 10 goals x 128 particles, T=128.
+
+    Runs the fused dof-factored Pallas kernel when on TPU (round 3:
+    the [2T, 2T] dof factorization dissolved the VMEM blocker that kept
+    round 2's [M, M] fused kernel off this config); falls back to the XLA
+    dof-plane fast stack elsewhere."""
+    fused = _timed_fused_panda_dof(opt_iters=50, n_chunks=3)
+    if fused is not None:
+        ups, ips = fused
+        return {"config": "panda-scaling-10x128 (fused dof kernel)",
+                "particles": 1280, "value": ups, "iters_per_sec": ips}
     sampler, cost, state, obs, s = _panda_problem(
         num_goals=10, ppg=128, traj_len=128, num_samples=8
     )

@@ -129,6 +129,17 @@ def run_reference(seed: int, iters: int):
     return _success(means, lambda x: obst_map.compute_cost(torch.from_numpy(x)).numpy())
 
 
+def wilson_interval(k: int, n: int, z: float = 1.96) -> tuple[float, float]:
+    """95% Wilson score interval for a binomial proportion."""
+    if n == 0:
+        return (0.0, 1.0)
+    p = k / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    return (max(0.0, center - half), min(1.0, center + half))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
@@ -137,10 +148,12 @@ def main():
     args = ap.parse_args()
 
     ours = np.concatenate([run_ours(s, args.iters) for s in range(args.seeds)])
+    lo, hi = wilson_interval(int(ours.sum()), int(ours.size))
     print(json.dumps({
         "planner": "stoch_gpmp_tpu (v5e/CPU f32)",
         "success_rate": round(float(ours.mean()), 3),
         "episodes": int(ours.size),
+        "wilson95": [round(lo, 3), round(hi, 3)],
     }), flush=True)
 
     if not args.skip_reference:
@@ -148,10 +161,12 @@ def main():
             ref = np.concatenate(
                 [run_reference(s, args.iters) for s in range(args.seeds)]
             )
+            lo, hi = wilson_interval(int(ref.sum()), int(ref.size))
             print(json.dumps({
                 "planner": "reference stoch_gpmp (torch CPU f64)",
                 "success_rate": round(float(ref.mean()), 3),
                 "episodes": int(ref.size),
+                "wilson95": [round(lo, 3), round(hi, 3)],
             }), flush=True)
         except Exception as e:  # pragma: no cover
             print(json.dumps({"reference": f"unavailable: {e}"}), flush=True)

@@ -235,12 +235,17 @@ def main():
     ]
     for r in results:
         print(json.dumps(r), flush=True)
-    rate = float(np.mean([r["success"] for r in results]))
+    from success_rate import wilson_interval
+
+    k = int(np.sum([r["success"] for r in results]))
+    rate = k / len(results)
+    lo, hi = wilson_interval(k, len(results))
     print(json.dumps({
         "planner": f"{args.planner} panda closed-loop",
         "physics": args.physics,
         "contact_model": args.contact_model,
         "success_rate": round(rate, 3),
+        "wilson95": [round(lo, 3), round(hi, 3)],
         "episodes": len(results),
         "mesh_sphere_contacts": int(np.sum([r["contact_mesh_spheres"] for r in results])),
         "legacy_point_contacts": int(np.sum([r["contact_points_legacy"] for r in results])),

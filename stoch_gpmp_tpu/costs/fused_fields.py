@@ -98,11 +98,19 @@ class PlaneFieldsCost(Cost):
     @classmethod
     def create(cls, n_dof, traj_len, chain, target_h, *, margin=0.03,
                sigma_self=0.01, sigma_coll=0.01, sigma_goal=0.00007,
-               w_pos=1.0, w_rot=1.0, num_obstacles=5, use_pallas=True):
+               w_pos=1.0, w_rot=1.0, num_obstacles=5, use_pallas=True,
+               build_selection=True):
+        """``build_selection=False`` skips the ``[M, n_dof*TPAD]`` selection
+        matrix (98 MB at T=512) — for callers that only evaluate through the
+        plane/dof-plane entry points, which never need it."""
         from stoch_gpmp_tpu.ops.pallas.panda_fields import make_traj_selection
 
         tpad = 128 * (-(-traj_len // 128))
-        sel, tmask = make_traj_selection(n_dof, 2 * n_dof, traj_len, tpad)
+        if build_selection:
+            sel, tmask = make_traj_selection(n_dof, 2 * n_dof, traj_len, tpad)
+        else:
+            _, tmask = make_traj_selection(0, 0, traj_len, tpad)
+            sel = None
         return cls(
             chain=chain, target_h=jnp.asarray(target_h), n_dof=n_dof,
             traj_len=traj_len, margin=margin, sigma_self=sigma_self,
@@ -121,6 +129,12 @@ class PlaneFieldsCost(Cost):
         w_self = 1.0 / (self.sigma_self**2)
         w_obst = (1.0 / (self.sigma_coll**2)) if spheres is not None else 0.0
         if self.use_pallas:
+            if self.sel is None:
+                raise ValueError(
+                    "PlaneFieldsCost was built with build_selection=False; "
+                    "flat eval needs the selection matrix — evaluate via "
+                    "eval_planes/eval_dof_planes instead"
+                )
             # stay in the flat [B, M] layout: one MXU selection matmul makes
             # 128-aligned per-dof time planes, then ONE Pallas pass fuses FK +
             # both RBF fields + the t=0 mask in VMEM (an [..., T, d] view

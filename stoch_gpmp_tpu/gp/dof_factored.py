@@ -242,6 +242,17 @@ class DofQuadraticCost:
             n_dof=n_dof, traj_len=traj_len,
         )
 
+    def supports_dof_planes(self) -> bool:
+        return True
+
+    def eval(self, trajs, x_trajs=None, observation=None):
+        """Flat-batch ``eval`` (``[B, T, 2d]`` or ``[B, M]``) through the
+        plane layout — the dense-free quadratic for long horizons where a
+        ``[M, M]`` ``QuadraticCost.a_dense`` would not fit (e.g. d=14,
+        T=1024: 3.3 GB)."""
+        trajs = trajs.reshape(-1, self.traj_len, 2 * self.n_dof)
+        return self.eval_dof_planes(to_dof_planes(trajs), observation=observation)
+
     def eval_dof_planes(self, x_planes: jnp.ndarray, observation=None) -> jnp.ndarray:
         """``x_planes [d, B, 2T]`` (dof-leading, goal-major batch) -> ``[B]``
         costs."""

@@ -1,0 +1,294 @@
+"""Fully-fused dof-factored Panda StochGPMP iteration (one Pallas kernel).
+
+Round 2's fused Panda kernel (``ops/pallas/panda_step.py``) could not run
+the scaling config: its ``[M, M]`` constants at M=1792 are ~38 MB and
+exceed VMEM. The dof factorization (``gp/dof_factored.py``) dissolves that
+blocker: with scalar sigmas the sampling factor / quadratic cost shrink to
+ONE shared ``[2T, 2T]`` block (~260 KB at T=128), so the whole iteration
+fuses at ANY particle count:
+
+  per dof d (unrolled; all dofs share w_dof/a_dof):
+    1. eps_d ~ N(0, I) via hardware PRNG + dual-output Box-Muller,
+    2. x_d = mu_d + eps_d @ W_dof              (MXU, [N, 2T] @ [2T, 2T]),
+    3. quad += x_d A_dof x_d^T - 2 b_d . x_d   (MXU + VPU),
+    4. importance += tau * x_d . (Sigma^-1 mu)_d                    (VPU),
+  then, on the position planes q_d = x_d[:, :T] (exact lane slices —
+  they fall out of the sampling matmul, no selection matmul, no relayout):
+    5. FK scalar planes -> self-RBF + obstacle-RBF fields, t=0 masked (VPU),
+    6. terminal SE(3) distance on the exact last-step lane            (VPU),
+    7. segmented softmax over samples + per-dof weighted mean update
+       (VPU + MXU segment matmul).
+
+Grid = particle blocks. The RNG stream is the hardware PRNG (opt-in
+execution path; same algorithm/distributions as the XLA dof path, different
+well-defined stream — like the planar fused kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _kernel(
+    seed_ref,  # [1, 1, 2] int32 (per particle block)
+    means_ref,  # [D, PB, 2T]
+    prec_u_ref,  # [D, PB, 2T]
+    b_ref,  # [D, PB, 2T]
+    w_ref,  # [2T, 2T] shared sampling factor (x = eps @ W)
+    a_ref,  # [2T, 2T] shared quadratic cost block
+    spheres_ref,  # [O, 4]
+    tmask_ref,  # [1, T]
+    new_means_ref,  # out [D, PB, 2T]
+    costs_ref,  # out [PB, S]
+    *,
+    chain,
+    num_particles,
+    num_samples,
+    n_dof,
+    traj_len,
+    n_obst,
+    margin,
+    w_self,
+    w_obst,
+    w_goal,
+    w_pos,
+    w_rot,
+    target,  # np [4, 4] python-constant SE(3) goal
+    temperature,
+    step_size,
+):
+    from stoch_gpmp_tpu.ops.pallas.fused_step import _box_muller
+
+    p, s = num_particles, num_samples
+    n = p * s
+    t = traj_len
+    t2 = 2 * t
+
+    pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
+
+    # --- per-dof sampling + quadratic + importance ---------------------------
+    xs = []
+    cost = None
+    for d in range(n_dof):
+        eps = _box_muller(n, t2)
+        mu_rows = jnp.repeat(means_ref[d], s, axis=0)  # [N, 2T]
+        x = mu_rows + jnp.dot(eps, w_ref[:], preferred_element_type=jnp.float32)
+        xs.append((x, mu_rows))
+        xa = jnp.dot(x, a_ref[:], preferred_element_type=jnp.float32)
+        term = jnp.sum(xa * x, axis=1, keepdims=True)  # [N, 1]
+        b_rows = jnp.repeat(b_ref[d], s, axis=0)
+        term = term - 2.0 * jnp.sum(x * b_rows, axis=1, keepdims=True)
+        pu_rows = jnp.repeat(prec_u_ref[d], s, axis=0)
+        term = term + temperature * jnp.sum(x * pu_rows, axis=1, keepdims=True)
+        cost = term if cost is None else cost + term
+
+    # --- FK + fields on the position planes (exact lane slices) --------------
+    qs = [xs[d][0][:, :t] for d in range(n_dof)]
+    planes = chain.fk_planes_from_scalars(qs)
+    pos = [pp for (_, pp) in planes]
+    n_links = len(pos)
+
+    acc = jnp.zeros(qs[0].shape, dtype=jnp.float32)
+    if w_self != 0.0:
+        inv = 1.0 / (2.0 * margin * margin)
+        sacc = None
+        for i in range(n_links):
+            for j in range(i + 1, n_links):
+                dx = pos[i][0] - pos[j][0]
+                dy = pos[i][1] - pos[j][1]
+                dz = pos[i][2] - pos[j][2]
+                d2 = dx * dx + dy * dy + dz * dz
+                e = 2.0 * jnp.exp(-d2 * inv)
+                sacc = e if sacc is None else sacc + e
+        acc = acc + w_self * (sacc + float(n_links))
+    if w_obst != 0.0 and n_obst:
+        oacc = None
+        for li in range(n_links):
+            for k in range(n_obst):
+                dx = pos[li][0] - spheres_ref[k, 0]
+                dy = pos[li][1] - spheres_ref[k, 1]
+                dz = pos[li][2] - spheres_ref[k, 2]
+                r = spheres_ref[k, 3]
+                d2 = dx * dx + dy * dy + dz * dz
+                e = jnp.exp(-0.5 * d2 / (r * r))
+                oacc = e if oacc is None else oacc + e
+        acc = acc + w_obst * oacc
+    cost = cost + jnp.sum(acc * tmask_ref[:], axis=1, keepdims=True)
+
+    # --- terminal SE(3) goal on the exact last-step lane ---------------------
+    # (reference cost_functions.py:305; Mosaic has no acos — A&S 4.4.46
+    # polynomial, |err| <= 2e-8; see ops/pallas/panda_step.py)
+    if w_goal != 0.0:
+        q_last = [xs[d][0][:, t - 1 : t] for d in range(n_dof)]
+        r_ee, p_ee = chain.fk_planes_from_scalars(q_last)[-1]
+        sq = None
+        for c in range(3):
+            dd = p_ee[c] - float(target[c, 3])
+            sq = dd * dd if sq is None else sq + dd * dd
+        pos_dist = jnp.sqrt(sq)
+        tr = None
+        for i in range(3):
+            for j in range(3):
+                term = r_ee[i][j] * float(target[i, j])
+                tr = term if tr is None else tr + term
+        cosang = jnp.clip((tr - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
+        az = jnp.abs(cosang)
+        poly = 1.5707963050 + az * (
+            -0.2145988016 + az * (
+                0.0889789874 + az * (
+                    -0.0501743046 + az * (
+                        0.0308918810 + az * (
+                            -0.0170881256 + az * (
+                                0.0066700901 + az * -0.0012624911
+                            )
+                        )
+                    )
+                )
+            )
+        )
+        r_pos = jnp.sqrt(1.0 - az) * poly
+        ang = jnp.where(cosang >= 0.0, r_pos, np.pi - r_pos)
+        dist = w_pos * pos_dist + w_rot * ang
+        cost = cost + w_goal * (dist * dist)  # [N, 1]
+
+    # --- segmented softmax + per-dof weighted mean update --------------------
+    w_parts = []
+    for i in range(p):
+        c_i = cost[i * s : (i + 1) * s]
+        neg = -c_i / temperature
+        neg = neg - jnp.max(neg, axis=0, keepdims=True)
+        e = jnp.exp(neg)
+        w_parts.append(e / jnp.sum(e, axis=0, keepdims=True))
+    wts = jnp.concatenate(w_parts, axis=0)  # [N, 1]
+    seg_t = jnp.repeat(jnp.eye(p, dtype=jnp.float32), s, axis=1)  # [P, N]
+    for d in range(n_dof):
+        x, mu_rows = xs[d]
+        weighted = wts * (x - mu_rows)
+        grad = jnp.dot(seg_t, weighted, preferred_element_type=jnp.float32)
+        new_means_ref[d] = means_ref[d] + step_size * grad
+    costs_ref[:] = cost.reshape(p, s)
+
+
+def make_fused_panda_dof_step(
+    *,
+    chain,
+    w_dof: jnp.ndarray,  # [2T, 2T]
+    a_dof: jnp.ndarray,  # [2T, 2T]
+    b_planes_p: jnp.ndarray,  # [D, P, 2T] per-particle linear term
+    prec_dof: jnp.ndarray,  # [2T, 2T]
+    spheres: jnp.ndarray,  # [O, 4]
+    target_h: np.ndarray,  # [4, 4]
+    n_dof: int,
+    traj_len: int,
+    num_samples: int,
+    margin: float,
+    w_self: float,
+    w_obst: float,
+    w_goal: float,
+    w_pos: float = 1.0,
+    w_rot: float = 1.0,
+    temperature: float = 1.0,
+    step_size: float = 0.1,
+    particles_per_block: int | None = None,
+):
+    """Build ``step(means_planes [D, P, 2T], seeds [n_blocks, 2] int32) ->
+    (new_means_planes, costs [P, S])`` running the whole dof-factored Panda
+    iteration as one Pallas call. Requires ``traj_len`` a multiple of 128
+    (the plane lanes; config-5's T=128 natively)."""
+    t2 = 2 * traj_len
+    d_, p = b_planes_p.shape[0], b_planes_p.shape[1]
+    assert d_ == n_dof
+
+    if particles_per_block is None:
+        # per-dof x buffers dominate: D * PB * S * 2T * 4 bytes; keep the
+        # live set around ~8 MB of the ~16 MB VMEM budget
+        budget_rows = max(1, (8 * 1024 * 1024) // (4 * t2 * n_dof * num_samples))
+        candidates = [
+            pb for pb in range(1, p + 1)
+            if p % pb == 0 and ((pb * num_samples) % 8 == 0 or pb == p)
+        ]
+        fitting = [pb for pb in candidates if pb <= budget_rows]
+        particles_per_block = max(fitting) if fitting else min(candidates)
+    pb = particles_per_block
+    assert p % pb == 0
+    n_blocks = p // pb
+
+    spheres = jnp.asarray(spheres, dtype=jnp.float32).reshape(-1, 4)
+    n_obst = int(spheres.shape[0])
+    if n_obst == 0:
+        spheres = jnp.zeros((1, 4), dtype=jnp.float32)
+    tmask = jnp.zeros((1, traj_len), dtype=jnp.float32).at[0, 1:].set(1.0)
+
+    kernel = functools.partial(
+        _kernel,
+        chain=chain, num_particles=pb, num_samples=num_samples,
+        n_dof=n_dof, traj_len=traj_len, n_obst=n_obst, margin=margin,
+        w_self=w_self, w_obst=w_obst, w_goal=w_goal, w_pos=w_pos, w_rot=w_rot,
+        target=np.asarray(target_h, dtype=np.float64),
+        temperature=temperature, step_size=step_size,
+    )
+    vm = pltpu.VMEM
+    const = lambda i: (0, 0)  # noqa: E731
+    per_b3 = lambda i: (0, i, 0)  # noqa: E731
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((n_dof, pb, t2), per_b3, memory_space=vm),  # means
+            pl.BlockSpec((n_dof, pb, t2), per_b3, memory_space=vm),  # prec_u
+            pl.BlockSpec((n_dof, pb, t2), per_b3, memory_space=vm),  # b
+            pl.BlockSpec((t2, t2), const, memory_space=vm),  # W
+            pl.BlockSpec((t2, t2), const, memory_space=vm),  # A
+            pl.BlockSpec((int(spheres.shape[0]), 4), const, memory_space=vm),
+            pl.BlockSpec((1, traj_len), const, memory_space=vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_dof, pb, t2), per_b3, memory_space=vm),
+            pl.BlockSpec((pb, num_samples), lambda i: (i, 0), memory_space=vm),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_dof, p, t2), jnp.float32),
+            jax.ShapeDtypeStruct((p, num_samples), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )
+
+    def step(means_planes: jnp.ndarray, seeds: jnp.ndarray):
+        prec_u = (means_planes.reshape(-1, t2) @ prec_dof).reshape(
+            n_dof, p, t2
+        )
+        return call(
+            seeds.reshape(n_blocks, 1, 2), means_planes, prec_u, b_planes_p,
+            w_dof, a_dof, spheres, tmask,
+        )
+
+    step.n_blocks = n_blocks
+    return step
+
+
+def fused_panda_dof_optimize(step, means_planes, key, opt_iters: int):
+    """Scan the fused step; per-iteration per-block seeds from the key."""
+    n_blocks = getattr(step, "n_blocks", 1)
+
+    def body(carry, _):
+        mns, k = carry
+        k, sub = jax.random.split(k)
+        seeds = jax.random.bits(sub, (n_blocks, 2), dtype=jnp.uint32).astype(jnp.int32)
+        new_m, _ = step(mns, seeds)
+        return (new_m, k), None
+
+    (means_planes, key), _ = jax.lax.scan(
+        body, (means_planes, key), None, length=opt_iters
+    )
+    return means_planes, key
