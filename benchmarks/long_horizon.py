@@ -116,18 +116,24 @@ def solver_bench(t, n_samples=480, iters=50, chunks=4):
     return out
 
 
-def gn_bench(t, with_obstacles, method="woodbury", iters=20, chunks=3):
-    """Gauss-Newton (GPMP) iteration time at long horizons: the structured
-    sequential-over-T Cholesky vs the parallel-in-time Woodbury solve
-    (planners/gpmp.py). The reference's dense per-particle solve is O(M^3)
-    here (``planner.py:600-633``)."""
+def gn_bench(t, with_obstacles, method="woodbury", iters=20, chunks=3,
+             particles=15):
+    """Gauss-Newton (GPMP) iteration time: the structured sequential-over-T
+    Cholesky vs the parallel-in-time Woodbury solve (planners/gpmp.py). The
+    reference's dense per-particle solve is O(M^3) here
+    (``planner.py:600-633``). ``--horizons 64`` with ``--gn-particles 192``
+    reproduces the planar parity scale of docs/PERFORMANCE.md."""
     from stoch_gpmp_tpu.planners.gpmp import (
         GPMPState, build_woodbury, gpmp_optimize,
     )
 
     sampler, cost, state = _problem(t, with_obstacles)
     del sampler
-    gstate = GPMPState(particle_means=state.particle_means, key=state.key)
+    means = state.particle_means
+    if particles != means.shape[0]:
+        reps = -(-particles // means.shape[0])
+        means = jnp.tile(means, (reps, 1, 1))[:particles]
+    gstate = GPMPState(particle_means=means, key=state.key)
     wb = build_woodbury(cost, 1e-2) if method == "woodbury" else None
     run = jax.jit(lambda st: gpmp_optimize(
         cost, st, {}, opt_iters=iters, delta=1e-2, trust_region=False,
@@ -141,9 +147,10 @@ def gn_bench(t, with_obstacles, method="woodbury", iters=20, chunks=3):
     el = (time.perf_counter() - t0) / (iters * chunks)
     assert np.isfinite(final).all()
     return {
-        "config": f"gpmp-{method}-T{t}{'-obst' if with_obstacles else ''}",
+        "config": f"gpmp-{method}-T{t}-P{particles}"
+                  f"{'-obst' if with_obstacles else ''}",
         "metric": "particle-trajectory updates/sec",
-        "value": round(15 / el, 1),
+        "value": round(particles / el, 1),
         "ms_per_iter": round(el * 1e3, 3),
     }
 
@@ -242,6 +249,7 @@ def main():
     ap.add_argument("--planner", choices=["stochgpmp", "gpmp"],
                     default="stochgpmp")
     ap.add_argument("--gn-iters", type=int, default=20)
+    ap.add_argument("--gn-particles", type=int, default=15)
     ap.add_argument("--panda", action="store_true",
                     help="d=14 long-horizon A/B (dof dense-apply vs legacy "
                     "pscan path); horizons with 2T <= 2048 only for dof")
@@ -257,7 +265,8 @@ def main():
         if args.planner == "gpmp":
             for method in ("woodbury", "cholesky"):
                 print(json.dumps(gn_bench(
-                    t, True, method=method, iters=args.gn_iters
+                    t, True, method=method, iters=args.gn_iters,
+                    particles=args.gn_particles,
                 )), flush=True)
             continue
         print(json.dumps(solver_bench(t)), flush=True)

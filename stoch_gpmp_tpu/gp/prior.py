@@ -145,6 +145,25 @@ class GPPrior:
         (``mp_priors_multi.py:120-123``) — O(1), no dense dist rebuild."""
         return self.replace(means=means.reshape(self.means.shape))
 
+    def set_sigma_inv(self, precision: BlockTridiag) -> "GPPrior":
+        """Functional analogue of reference ``set_Sigma_invs``
+        (``mp_priors_multi.py:124-128``): swap the sampling precision and
+        rebuild the derived factors (Cholesky, dense ``L^{-1}`` or the
+        parallel-in-time solver — whichever form this prior was using).
+        The per-dof factored form cannot be rebuilt from an arbitrary
+        precision (it exists only under per-dof-decoupled weights), so it is
+        dropped; rebuild via ``make_gp_prior`` to restore it."""
+        chol = precision.cholesky()
+        if self.weight_t is not None:
+            return self.replace(
+                precision=precision, chol=chol,
+                weight_t=chol.dense_inv_transpose().T, psolver=None, dof=None,
+            )
+        return self.replace(
+            precision=precision, chol=chol, weight_t=None,
+            psolver=ParallelBidiagSolver.from_chol(chol), dof=None,
+        )
+
     def sample(self, key: jax.Array, num_samples: int, method: str = "auto") -> jnp.ndarray:
         """Draw ``[num_modes, num_samples, T, d]`` samples.
 

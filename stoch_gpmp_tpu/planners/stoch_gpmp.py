@@ -419,12 +419,19 @@ def stoch_gpmp_optimize(
     # d > 8 (Panda) — where the d<=8 plane path is fusion-gated off — and an
     # explicit opt-in via sample_method='dof' elsewhere. Deterministic in the
     # PROBLEM (not in observability toggles), like the plane gate above.
+    # Auto-routing requires a 128-aligned horizon: at T=64 the position
+    # planes pad 64->128 lanes per dof and the tiny per-dof matmuls lose to
+    # the flat stack's single big matmul (the parity config is latency-bound
+    # at 36 us/iter on the flat stack — docs/PERFORMANCE.md).
     dof_eligible = (
         sampler.dof is not None
         and shard_samples is None
         and sample_dtype is None
         and getattr(cost, "supports_dof_planes", lambda: False)()
-        and (sample_method == "dof" or (sample_method == "dense" and d > 8))
+        and (
+            sample_method == "dof"
+            or (sample_method == "dense" and d > 8 and t % 128 == 0)
+        )
     )
     if dof_eligible:
         return _stoch_gpmp_optimize_dof(

@@ -307,3 +307,29 @@ class TestParallelBidiagSolver:
         out = prec.matvec_planes(planes)
         par = np.stack([np.asarray(o) for o in out], axis=-1)
         np.testing.assert_allclose(par, ref, rtol=1e-12, atol=1e-14)
+
+
+def test_set_sigma_inv_rebuilds_factors():
+    """GPPrior.set_sigma_inv (reference set_Sigma_invs,
+    mp_priors_multi.py:124-128): swapping the precision rebuilds the
+    sampling factor so draws match a prior built directly with the new
+    sigmas."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stoch_gpmp_tpu.gp.prior import make_gp_prior
+
+    start = jnp.zeros(4, jnp.float64)
+    goals = jnp.asarray([[1.0, 2.0, 0, 0]], jnp.float64)
+    a = make_gp_prior(2, 12, 0.05, start, 1e-3, 0.5, sigma_goal=1e-3,
+                      goal_states=goals, dtype=jnp.float64)
+    b = make_gp_prior(2, 12, 0.05, start, 1e-2, 0.9, sigma_goal=1e-2,
+                      goal_states=goals, dtype=jnp.float64)
+    swapped = a.set_sigma_inv(b.precision)
+    np.testing.assert_allclose(
+        np.asarray(swapped.weight_t), np.asarray(b.weight_t), rtol=1e-9
+    )
+    s1 = swapped.sample(jax.random.PRNGKey(0), 3)
+    s2 = b.sample(jax.random.PRNGKey(0), 3)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-9)
