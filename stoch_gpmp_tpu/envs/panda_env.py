@@ -379,6 +379,7 @@ class PandaEnv:
             for sphere in self.spheres:
                 if sphere.role == 1:
                     sphere.integrate(dt)
+        self._resolve_obstacle_contacts()
 
         self.s_t = [
             np.array(self.panda.getJointStates()).reshape(1, 1, -1).copy(),
@@ -411,6 +412,31 @@ class PandaEnv:
         pass
 
     # ------------------------------------------------------------------ #
+    def _resolve_obstacle_contacts(self):
+        """One-way robot->obstacle coupling for DYNAMIC spheres: bullet's
+        ``stepSimulation`` (reference ``panda.py:443``) resolves arm-sphere
+        penetration physically — the position-controlled arm is effectively
+        infinitely stiff, so a penetrating free sphere gets pushed out along
+        the contact normal with its approaching velocity removed (inelastic).
+        Static spheres (role 0) don't move in bullet either and are left
+        alone. The contact FLAG semantics are unchanged (contact still ends
+        the episode, reference ``panda.py:494``)."""
+        dyn = [s for s in self.spheres if s.role == 1]
+        if not dyn:
+            return
+        cw, rw, _ = self._world_collision_spheres(self.panda.link_poses())
+        for s in dyn:
+            vec = s.base_position - cw  # [N, 3] from arm spheres to obstacle
+            dist = np.linalg.norm(vec, axis=-1)
+            pen = rw + s.scale - dist
+            worst = int(np.argmax(pen))
+            if pen[worst] > 0.0 and dist[worst] > 1e-9:
+                n = vec[worst] / dist[worst]
+                s.base_position = s.base_position + n * pen[worst]
+                vn = float(np.dot(s.base_linear_velocity, n))
+                if vn < 0.0:
+                    s.base_linear_velocity = s.base_linear_velocity - vn * n
+
     def _world_collision_spheres(self, link_poses):
         """Mesh-decomposition spheres in world frame: ``(centers [N, 3],
         radii [N], floor_check_mask [N])``."""

@@ -305,3 +305,34 @@ def test_mesh_sphere_contact_model():
     s.base_position = cw[probe] + direction * (rw[probe] + 0.01)
     s.scale = 0.02
     assert env._check_contact()  # 1 cm gap < r_obst 2 cm -> touching
+
+
+def test_dynamic_sphere_pushed_out_of_arm():
+    """A dynamic sphere penetrating the arm volume is resolved physically:
+    pushed out along the contact normal with its approach velocity removed
+    (the native analogue of bullet's stepSimulation contact response,
+    reference panda.py:443); a static sphere is left untouched."""
+    env = PandaEnv(num_obst=1, seed=0, motion_obstacles=0)
+    lp = env.panda.link_poses()
+    cw, rw, _ = env._world_collision_spheres(lp)
+    probe = len(cw) // 2
+    s = env.spheres[0]
+    s.scale = 0.05
+    inside = cw[probe] + np.asarray([0.0, 0.0, 1e-3])
+    s.base_position = inside.copy()
+    s.base_linear_velocity = np.asarray([0.0, 0.0, -0.5])
+
+    # static: untouched
+    s.role = 0
+    env._resolve_obstacle_contacts()
+    np.testing.assert_array_equal(s.base_position, inside)
+
+    # dynamic: pushed to (at least) the contact surface, approach removed
+    s.role = 1
+    env._resolve_obstacle_contacts()
+    d = np.linalg.norm(s.base_position - cw, axis=-1) - rw - s.scale
+    assert d.max() > -1e-6  # no longer penetrating the worst sphere
+    cw_new, rw_new, _ = env._world_collision_spheres(env.panda.link_poses())
+    n = (s.base_position - cw[probe])
+    n = n / np.linalg.norm(n)
+    assert np.dot(s.base_linear_velocity, n) >= -1e-9
