@@ -155,16 +155,33 @@ def make_dof_factored_prior(
     """
     from stoch_gpmp_tpu.gp.prior import build_precision
 
-    k_s_inv = unary_weight(2, sigma_start, dtype=dtype)
-    q_inv = q_inv_block(1, dt, sigma=sigma_gp, dtype=dtype)
-    k_g_inv = None if sigma_goal is None else unary_weight(2, sigma_goal, dtype=dtype)
-    prec1 = build_precision(1, traj_len, dt, k_s_inv, q_inv, k_g_inv=k_g_inv, dtype=dtype)
-    chol = prec1.cholesky()
-    w1 = chol.dense_inv_transpose().T  # [2T, 2T] = L^{-1}; samples = eps @ w1
-    perm = plane_perm(traj_len)
+    # setup-time constants: build on the host CPU backend when available —
+    # eager construction ops through a remote-TPU attachment would each pay
+    # tunnel latency/compiles for [2T, 2T]-sized work
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
+
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        k_s_inv = unary_weight(2, sigma_start, dtype=dtype)
+        q_inv = q_inv_block(1, dt, sigma=sigma_gp, dtype=dtype)
+        k_g_inv = (
+            None if sigma_goal is None else unary_weight(2, sigma_goal, dtype=dtype)
+        )
+        prec1 = build_precision(
+            1, traj_len, dt, k_s_inv, q_inv, k_g_inv=k_g_inv, dtype=dtype
+        )
+        chol = prec1.cholesky()
+        w1 = chol.dense_inv_transpose().T  # [2T, 2T] = L^{-1}
+        perm = plane_perm(traj_len)
+        w_dof = _perm2(w1, perm)
+        prec_dof = _perm2(prec1.to_dense(), perm)
     return DofFactoredPrior(
-        w_dof=_perm2(w1, perm),
-        prec_dof=_perm2(prec1.to_dense(), perm),
+        w_dof=jnp.asarray(np.asarray(w_dof)),
+        prec_dof=jnp.asarray(np.asarray(prec_dof)),
         traj_len=traj_len,
     )
 
@@ -198,45 +215,61 @@ class DofQuadraticCost:
         if goal_prior is not None:
             _assert_isotropic(goal_prior.k_goal, n_dof, "k_goal")
 
-        k_s = _dof2_block(gp.k_start, n_dof)
-        q_i = _dof2_block(gp.q_inv, n_dof)
-        phi = _dof2_block(gp.phi, n_dof)
-        k_g = (
-            _dof2_block(goal_prior.k_goal, n_dof)
-            if goal_prior is not None else None
-        )
-        pqp = phi.T @ q_i @ phi
-        diag = jnp.tile(q_i + pqp, (traj_len, 1, 1))
-        diag = diag.at[0].set(k_s + pqp)
-        last = q_i if k_g is None else q_i + k_g
-        diag = diag.at[traj_len - 1].set(last)
-        lower = jnp.tile(-(q_i @ phi), (traj_len - 1, 1, 1))
-        a1 = BlockTridiag(diag=diag, lower=lower).to_dense()  # [2T, 2T] t-major
-        perm = plane_perm(traj_len)
-        a_dof = _perm2(a1, perm)
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        import contextlib
 
-        goals = (
-            goal_prior.multi_goal_states if goal_prior is not None else None
+        ctx = (
+            jax.default_device(cpu) if cpu is not None
+            else contextlib.nullcontext()
         )
-        g = goals.shape[0] if goals is not None else 1
-        t = traj_len
-        b_planes = jnp.zeros((g, n_dof, 2 * t), dtype=dtype)
-        # start anchor: linear term K_s s on state 0 -> per-dof (pos_0, vel_0)
-        s_pd = jnp.stack(
-            [gp.start_state[:n_dof], gp.start_state[n_dof:]], axis=-1
-        )  # [d, 2]
-        bs = s_pd @ k_s.T  # [d, 2] rows (pos coeff, vel coeff)
-        b_planes = b_planes.at[:, :, 0].set(bs[:, 0])
-        b_planes = b_planes.at[:, :, t].set(bs[:, 1])
-        c = jnp.full((g,), jnp.sum(s_pd * bs), dtype=dtype)
-        if goals is not None:
-            g_pd = jnp.stack(
-                [goals[:, :n_dof], goals[:, n_dof:]], axis=-1
-            )  # [G, d, 2]
-            bg = jnp.einsum("gdk,jk->gdj", g_pd, k_g)  # [G, d, 2]
-            b_planes = b_planes.at[:, :, t - 1].add(bg[..., 0])
-            b_planes = b_planes.at[:, :, 2 * t - 1].add(bg[..., 1])
-            c = c + jnp.einsum("gdk,gdk->g", g_pd, bg)
+        with ctx:
+            k_s = _dof2_block(jnp.asarray(np.asarray(gp.k_start)), n_dof)
+            q_i = _dof2_block(jnp.asarray(np.asarray(gp.q_inv)), n_dof)
+            phi = _dof2_block(jnp.asarray(np.asarray(gp.phi)), n_dof)
+            k_g = (
+                _dof2_block(jnp.asarray(np.asarray(goal_prior.k_goal)), n_dof)
+                if goal_prior is not None else None
+            )
+            pqp = phi.T @ q_i @ phi
+            diag = jnp.tile(q_i + pqp, (traj_len, 1, 1))
+            diag = diag.at[0].set(k_s + pqp)
+            last = q_i if k_g is None else q_i + k_g
+            diag = diag.at[traj_len - 1].set(last)
+            lower = jnp.tile(-(q_i @ phi), (traj_len - 1, 1, 1))
+            a1 = BlockTridiag(diag=diag, lower=lower).to_dense()  # t-major
+            perm = plane_perm(traj_len)
+            a_dof = _perm2(a1, perm)
+
+            goals = (
+                jnp.asarray(np.asarray(goal_prior.multi_goal_states))
+                if goal_prior is not None else None
+            )
+            start_state = jnp.asarray(np.asarray(gp.start_state))
+            g = goals.shape[0] if goals is not None else 1
+            t = traj_len
+            b_planes = jnp.zeros((g, n_dof, 2 * t), dtype=dtype)
+            # start anchor: linear term K_s s on state 0 -> (pos_0, vel_0)
+            s_pd = jnp.stack(
+                [start_state[:n_dof], start_state[n_dof:]], axis=-1
+            )  # [d, 2]
+            bs = s_pd @ k_s.T  # [d, 2] rows (pos coeff, vel coeff)
+            b_planes = b_planes.at[:, :, 0].set(bs[:, 0])
+            b_planes = b_planes.at[:, :, t].set(bs[:, 1])
+            c = jnp.full((g,), jnp.sum(s_pd * bs), dtype=dtype)
+            if goals is not None:
+                g_pd = jnp.stack(
+                    [goals[:, :n_dof], goals[:, n_dof:]], axis=-1
+                )  # [G, d, 2]
+                bg = jnp.einsum("gdk,jk->gdj", g_pd, k_g)  # [G, d, 2]
+                b_planes = b_planes.at[:, :, t - 1].add(bg[..., 0])
+                b_planes = b_planes.at[:, :, 2 * t - 1].add(bg[..., 1])
+                c = c + jnp.einsum("gdk,gdk->g", g_pd, bg)
+            a_dof = jnp.asarray(np.asarray(a_dof))
+            b_planes = jnp.asarray(np.asarray(b_planes))
+            c = jnp.asarray(np.asarray(c))
         return cls(
             a_dof=a_dof, b_planes=b_planes, c=c, num_goals=g,
             n_dof=n_dof, traj_len=traj_len,
