@@ -315,3 +315,44 @@ def test_gpmp_panda_with_fk_fields():
         np.asarray(jnp.tile(start_q, (2, 1))),
         atol=0.05,
     )
+
+
+def test_gn_rank1_consistent_with_gn_contrib():
+    """gn_rank1's (h, e, k) reconstructs gn_contrib's diag (k h h^T) and
+    gradient (k h e) for the raster-field collision cost."""
+    dtype = jnp.float64
+    n_dof, traj_len = 2, 10
+    xg, yg = jnp.meshgrid(jnp.arange(40, dtype=dtype), jnp.arange(40, dtype=dtype))
+    grid = jnp.exp(-((xg - 20.0) ** 2 + (yg - 20.0) ** 2) / 50.0)
+    from stoch_gpmp_tpu.costs import OccupancyGridField
+
+    field = OccupancyGridField(grid=grid, cell_size=0.1)
+    coll = CostCollision.create(n_dof, traj_len, field, sigma_coll=0.1)
+    rng = np.random.default_rng(6)
+    trajs = jnp.asarray(0.5 * rng.standard_normal((3, traj_len, 2 * n_dof)))
+    c = coll.gn_contrib(trajs)
+    h, e, k = coll.gn_rank1(trajs)
+    d = 2 * n_dof
+    h_full = np.zeros((3, traj_len, d))
+    h_full[..., :n_dof] = np.asarray(h)
+    np.testing.assert_allclose(
+        np.asarray(c.diag), k * np.einsum("pti,ptj->ptij", h_full, h_full),
+        rtol=1e-12, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(c.g), k * h_full * np.asarray(e)[..., None],
+        rtol=1e-12, atol=1e-12,
+    )
+
+
+def test_build_woodbury_rejects_unsupported_stacks():
+    """Stacks without the required structure return None (callers fall back
+    to the structured path)."""
+    from stoch_gpmp_tpu.planners.gpmp import build_woodbury
+
+    class Weird:
+        pass
+
+    cost, *_ = _quad_problem()
+    broken = cost.replace(costs=cost.costs + (Weird(),))
+    assert build_woodbury(broken, 1e-2) is None
