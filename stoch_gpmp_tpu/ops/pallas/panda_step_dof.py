@@ -170,11 +170,13 @@ def _kernel(
         e = jnp.exp(neg)
         w_parts.append(e / jnp.sum(e, axis=0, keepdims=True))
     wts = jnp.concatenate(w_parts, axis=0)  # [N, 1]
-    seg_t = jnp.repeat(jnp.eye(p, dtype=jnp.float32), s, axis=1)  # [P, N]
+    # Mosaic lowers the axis-0 eye-repeat (sublane broadcast); the axis-1
+    # variant hits an unsupported vector shape cast.
+    seg = jnp.repeat(jnp.eye(p, dtype=jnp.float32), s, axis=0)  # [N, P]
     for d in range(n_dof):
         x, mu_rows = xs[d]
         weighted = wts * (x - mu_rows)
-        grad = jnp.dot(seg_t, weighted, preferred_element_type=jnp.float32)
+        grad = jnp.dot(seg.T, weighted, preferred_element_type=jnp.float32)
         new_means_ref[d] = means_ref[d] + step_size * grad
     costs_ref[:] = cost.reshape(p, s)
 
