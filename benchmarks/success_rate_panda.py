@@ -36,7 +36,8 @@ def run_episode(seed: int, iters: int, physics: str = "kinematic",
 
     from stoch_gpmp_tpu.costs import (
         CostCollision, CostComposite, CostGP, CostGoal, CostGoalPrior,
-        EESE3DistanceField, LinkDistanceField, LinkSelfDistanceField,
+        EESE3DistanceField, LinkSelfDistanceField, MeshSphereDistanceField,
+        MeshSphereFloorField,
     )
     from stoch_gpmp_tpu.envs.panda_env import PandaEnv, random_init_static_sphere
     from stoch_gpmp_tpu.kinematics import homogeneous, y_rot, z_rot
@@ -125,7 +126,20 @@ def run_episode(seed: int, iters: int, physics: str = "kinematic",
                           {"sigma_start": 0.0001, "sigma_gp": 0.0007}, dtype=dtype),
             CostGoalPrior.create(n_dof, traj_len, goals, sigma_goal_prior=20.0, dtype=dtype),
             CostCollision.create(n_dof, traj_len, LinkSelfDistanceField(margin=0.03), sigma_coll=0.01),
-            CostCollision.create(n_dof, traj_len, LinkDistanceField(), sigma_coll=0.01),
+            # round 3: plan against the MESH volume (the geometry the env's
+            # contact check uses) — link-origin planning left 8/25 episodes
+            # touching the real surface
+            CostCollision.create(
+                n_dof, traj_len,
+                (mesh_field := MeshSphereDistanceField.for_panda(chain, dtype=dtype)),
+                sigma_coll=0.01,
+            ),
+            # floor avoidance over the same mesh volume (the env's floor
+            # check is sphere-conservative; plans must keep the volume clear)
+            CostCollision.create(
+                n_dof, traj_len, MeshSphereFloorField(mesh=mesh_field),
+                sigma_coll=0.01,
+            ),
             CostGoal.create(n_dof, traj_len, EESE3DistanceField(target_h=target_h), sigma_goal=0.00007),
         ],
         fk=chain.fk,
@@ -170,7 +184,19 @@ def run_episode(seed: int, iters: int, physics: str = "kinematic",
         - rw[None, None, :, None]
         - spheres[0, :, 3]
     )  # [P, T, N, O] mesh-surface to obstacle-surface distances
-    clean = d.min(axis=(1, 2, 3)) > 0.03
+    # floor clearance of the arm volume along the plan (exclude the base
+    # column spheres, which legitimately sit at the floor)
+    n_base = len(PANDA_COLLISION_SPHERES["panda_link0"]) + len(
+        PANDA_COLLISION_SPHERES["panda_link1"]
+    )
+    floor_clear = (cw[..., 2] - rw[None, None, :])[:, :, n_base:].min(
+        axis=(1, 2)
+    )
+    clean = (d.min(axis=(1, 2, 3)) > 0.03) & (floor_clear > 0.02)
+    import os
+    if os.environ.get("SRP_DEBUG"):
+        print("DBG obst_clear:", d.min(axis=(1, 2, 3)).round(3),
+              "floor_clear:", floor_clear.round(3), "clean:", clean, flush=True)
     if np.any(clean):
         cand = np.where(clean)[0]
         best = int(cand[np.argmin(ee_dist[cand])])

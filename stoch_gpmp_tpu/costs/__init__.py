@@ -11,6 +11,8 @@ from stoch_gpmp_tpu.costs.costs import (
 from stoch_gpmp_tpu.costs.fields import (
     EESE3DistanceField,
     LinkDistanceField,
+    MeshSphereDistanceField,
+    MeshSphereFloorField,
     LinkSelfDistanceField,
     OccupancyGridField,
     Primitive2DField,
@@ -32,6 +34,8 @@ __all__ = [
     "GNContrib",
     "EESE3DistanceField",
     "LinkDistanceField",
+    "MeshSphereDistanceField",
+    "MeshSphereFloorField",
     "LinkSelfDistanceField",
     "OccupancyGridField",
 ]

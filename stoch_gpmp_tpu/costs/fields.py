@@ -133,6 +133,103 @@ class LinkDistanceField:
 
 
 @struct.dataclass
+class MeshSphereDistanceField:
+    """Obstacle field evaluated at a sphere decomposition of the robot's
+    COLLISION MESHES (``kinematics/panda_collision.py``) instead of link
+    origins — planning against the real arm volume, matching the geometry of
+    the env's contact check (and of the reference's PyBullet
+    ``getClosestPoints``, ``panda.py:453-481``).
+
+    Same RBF family as ``LinkDistanceField`` (reference ``fields.py:78-79``)
+    but measured from the robot SURFACE: each mesh sphere (center ``c`` in
+    its link frame, radius ``r_s``) contributes
+    ``exp(-0.5 * max(||R c + p - o|| - r_s, 0)^2 / r_o^2)`` per obstacle.
+
+    Center transforms are expanded elementwise (no ``[.., 3, 3]`` batched
+    tiny matmuls — the known MXU trap). Static-base spheres are excluded
+    (constant in q — no planning gradient).
+    """
+
+    link_indices: tuple = struct.field(pytree_node=False)
+    centers: tuple  # per link group: [K_i, 3]
+    radii: tuple  # per link group: [K_i]
+
+    @classmethod
+    def for_panda(cls, chain, dtype=jnp.float32) -> "MeshSphereDistanceField":
+        from stoch_gpmp_tpu.kinematics.panda_collision import (
+            PANDA_COLLISION_SPHERES,
+        )
+
+        names = list(chain.link_names)
+        idxs, cs, rs = [], [], []
+        for frame, sph in PANDA_COLLISION_SPHERES.items():
+            if frame in names:
+                idxs.append(names.index(frame))
+                cs.append(jnp.asarray(sph[:, :3], dtype=dtype))
+                rs.append(jnp.asarray(sph[:, 3], dtype=dtype))
+        return cls(link_indices=tuple(idxs), centers=tuple(cs), radii=tuple(rs))
+
+    def world_spheres(self, link_tensor):
+        """``[..., N, 3]`` world centers + ``[N]`` radii of all mesh
+        spheres."""
+        cws, rws = [], []
+        for idx, c, r in zip(self.link_indices, self.centers, self.radii):
+            h = link_tensor[..., idx, :, :]
+            rot = h[..., :3, :3]  # [.., 3, 3]
+            pw = h[..., :3, 3]
+            # cw[k, i] = sum_j rot[i, j] c[k, j] + p[i] — elementwise expand
+            cw = jnp.sum(
+                rot[..., None, :, :] * c[:, None, :], axis=-1
+            ) + pw[..., None, :]  # [.., K, 3]
+            cws.append(cw)
+            rws.append(r)
+        return jnp.concatenate(cws, axis=-2), jnp.concatenate(rws)
+
+    def compute_cost(self, link_tensor, obstacle_spheres=None, **kw):
+        if obstacle_spheres is None:
+            lp = _link_pos(link_tensor)
+            return jnp.zeros(lp.shape[:-2], dtype=lp.dtype)
+        cw, rw = self.world_spheres(link_tensor)  # [.., N, 3], [N]
+        o_c = obstacle_spheres[..., :3]
+        o_r = obstacle_spheres[..., 3]
+        d = jnp.linalg.norm(cw[..., :, None, :] - o_c[..., None, :, :], axis=-1)
+        d_surf = jnp.maximum(d - rw[..., :, None], 0.0)
+        return jnp.exp(-0.5 * jnp.square(d_surf) / jnp.square(o_r)).sum((-1, -2))
+
+    def compute_collision(self, link_tensor, obstacle_spheres=None, buffer=0.0,
+                          **kw):
+        if obstacle_spheres is None:
+            lp = _link_pos(link_tensor)
+            return jnp.zeros(lp.shape[:-2], dtype=bool)
+        cw, rw = self.world_spheres(link_tensor)
+        o_c = obstacle_spheres[..., :3]
+        o_r = obstacle_spheres[..., 3]
+        d = jnp.linalg.norm(cw[..., :, None, :] - o_c[..., None, :, :], axis=-1)
+        return jnp.any(
+            d - rw[..., :, None] - o_r[..., None, :] < buffer, axis=(-1, -2)
+        )
+
+
+@struct.dataclass
+class MeshSphereFloorField:
+    """Floor-avoidance field on the mesh-sphere decomposition: RBF of the
+    clamped clearance between each robot sphere's lowest point and the floor
+    plane. Pairs with the env's conservative mesh-sphere floor check (which
+    flags contact when any sphere touches z = floor) so plans keep the whole
+    arm VOLUME clear — the reference stack has no floor cost because its
+    bullet check sees the true (tighter) meshes."""
+
+    mesh: MeshSphereDistanceField
+    floor_z: float = struct.field(pytree_node=False, default=0.0)
+    width: float = struct.field(pytree_node=False, default=0.05)
+
+    def compute_cost(self, link_tensor, **kw):
+        cw, rw = self.mesh.world_spheres(link_tensor)
+        clear = jnp.maximum(cw[..., 2] - rw - self.floor_z, 0.0)
+        return jnp.exp(-0.5 * jnp.square(clear) / self.width**2).sum(-1)
+
+
+@struct.dataclass
 class LinkSelfDistanceField:
     """Self-collision RBF field between all link-pair positions
     (reference ``fields.py:92-127``)."""

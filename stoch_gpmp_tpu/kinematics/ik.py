@@ -114,4 +114,15 @@ def solve_ik_multistart(
         return se3_distance(chain.ee_pose(q), target_h)
 
     errs = jax.vmap(true_err)(qs)
-    return qs[jnp.argmin(errs)]
+    if q_init is None:
+        return qs[jnp.argmin(errs)]
+    # Among near-best solutions, prefer the one closest to q_init in joint
+    # space: a distant elbow-flipped optimum forces wide swings through the
+    # workspace (observed: hand sweeping the floor). This also mirrors the
+    # reference's bullet IK, which iterates FROM the current state and so
+    # returns nearby solutions (objects.py:349-353).
+    best = errs.min()
+    ok = errs <= best + 0.05
+    jdist = jnp.linalg.norm(qs - q_init[None].astype(qs.dtype), axis=-1)
+    score = jnp.where(ok, jdist, jnp.inf)
+    return qs[jnp.argmin(score)]
