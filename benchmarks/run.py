@@ -240,10 +240,9 @@ def _timed_fused_panda(ppg=5, num_samples=32, opt_iters=500, n_chunks=1):
     )
     quad, fields = cost.costs
     p = state.particle_means.shape[0]
-    b_per_p = jnp.repeat(quad.b, p // quad.num_goals, axis=0)
     step = make_fused_panda_step(
-        chain=fields.chain, weight_t=sampler.weight_t, a_dense=quad.a_dense,
-        b=b_per_p, precision_dense=sampler.precision_dense,
+        chain=fields.chain, weight_t=sampler.weight_t, dof_prior=sampler.dof,
+        dof_quad=quad.dof_form, num_particles=p,
         spheres=obs["obstacle_spheres"],
         target_h=np.asarray(fields.target_h, dtype=np.float64),
         n_dof=7, traj_len=64, num_samples=num_samples, margin=fields.margin,
@@ -298,15 +297,10 @@ def _timed_fused_panda_dof(num_goals=10, ppg=128, num_samples=8,
         num_goals=num_goals, ppg=ppg, traj_len=128, num_samples=num_samples
     )
     quad, fields = cost.costs
-    dq = quad.dof_form
     p = state.particle_means.shape[0]
-    b_planes_p = jnp.repeat(
-        jnp.transpose(dq.b_planes, (1, 0, 2)), p // dq.num_goals, axis=1
-    )
     step = make_fused_panda_dof_step(
-        chain=fields.chain, w_dof=sampler.dof.w_dof, a_dof=dq.a_dof,
-        b_planes_p=b_planes_p, prec_dof=sampler.dof.prec_dof,
-        spheres=obs["obstacle_spheres"],
+        chain=fields.chain, dof_prior=sampler.dof, dof_quad=quad.dof_form,
+        num_particles=p, spheres=obs["obstacle_spheres"],
         target_h=np.asarray(fields.target_h, dtype=np.float64),
         n_dof=7, traj_len=128, num_samples=s, margin=fields.margin,
         w_self=1.0 / fields.sigma_self**2,

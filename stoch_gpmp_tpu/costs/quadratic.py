@@ -104,12 +104,55 @@ class QuadraticCost(Cost):
 
     def eval(self, trajs, x_trajs=None, observation=None):
         batch = trajs.shape[0]
+        if self.dof_form is not None and self.dof_form.q_i2 is not None:
+            return self._eval_stencil(trajs)
         x = trajs.reshape(batch, -1)  # [B, M]
         quad = jnp.sum((x @ self.a_dense) * x, axis=-1)
         xg = x.reshape(self.num_goals, -1, x.shape[-1])
         lin = jnp.einsum("gbm,gm->gb", xg, self.b).reshape(batch)
         cg = jnp.repeat(self.c, batch // self.num_goals)
         return quad - 2.0 * lin + cg
+
+    def _eval_stencil(self, trajs):
+        """Factor-graph residual form of the same quadratic, in the flat
+        ``[B, T, 2d]`` layout (elementwise + reductions only). Algebraically
+        identical to ``x A x - 2 b x + c`` but TPU-SAFE: the dense form
+        routes the ~1e10-scale GP precision through MXU matmuls whose
+        default bf16 passes corrupt the massively-cancelling quadratic
+        (measured on v5e — see gp/dof_factored.py)."""
+        df = self.dof_form
+        batch = trajs.shape[0]
+        x = trajs.reshape(batch, self.traj_len, self.state_dim)
+        dof = self.state_dim // 2
+        pos, vel = x[..., :dof], x[..., dof:]
+        q11, q12, q22 = df.q_i2[0, 0], df.q_i2[0, 1], df.q_i2[1, 1]
+        rp = pos[:, :-1] + df.dt * vel[:, :-1] - pos[:, 1:]
+        rv = vel[:, :-1] - vel[:, 1:]
+        e = jnp.sum(
+            q11 * rp * rp + 2.0 * q12 * rp * rv + q22 * rv * rv, axis=(1, 2)
+        )
+        ks11, ks12, ks22 = df.k_s2[0, 0], df.k_s2[0, 1], df.k_s2[1, 1]
+        r0p = pos[:, 0] - df.s_pd[None, :, 0]
+        r0v = vel[:, 0] - df.s_pd[None, :, 1]
+        e = e + jnp.sum(
+            ks11 * r0p * r0p + 2.0 * ks12 * r0p * r0v + ks22 * r0v * r0v,
+            axis=-1,
+        )
+        kg11, kg12, kg22 = df.k_g2[0, 0], df.k_g2[0, 1], df.k_g2[1, 1]
+        ppg = batch // self.num_goals
+        rgp = (
+            pos[:, -1].reshape(self.num_goals, ppg, dof)
+            - df.g_pd[:, None, :, 0]
+        )
+        rgv = (
+            vel[:, -1].reshape(self.num_goals, ppg, dof)
+            - df.g_pd[:, None, :, 1]
+        )
+        e = e + jnp.sum(
+            kg11 * rgp * rgp + 2.0 * kg12 * rgp * rgv + kg22 * rgv * rgv,
+            axis=-1,
+        ).reshape(batch)
+        return e
 
     def gn_contrib(self, trajs, x_trajs=None, observation=None):
         batch = trajs.shape[0]
@@ -118,9 +161,19 @@ class QuadraticCost(Cost):
         diag = jnp.broadcast_to(self.a_diag, (batch, t, d, d))
         lower = jnp.broadcast_to(self.a_lower, (batch, t - 1, d, d))
         # g = b_p - A x (gradient of 1/2 quad form with the reference's
-        # A = -dE/dx convention: identical to CostGP/CostGoalPrior sums)
-        x = trajs.reshape(batch, -1)
-        ax = x @ self.a_dense
+        # A = -dE/dx convention: identical to CostGP/CostGoalPrior sums).
+        # A x via the exact O(T) factor-graph stencil when available (the
+        # dense [M, M] matmul is bf16-degraded on the TPU MXU at the
+        # reference's sigmas — see gp/dof_factored.py)
+        df = self.dof_form
+        if df is not None and getattr(df, "q_i2", None) is not None:
+            from stoch_gpmp_tpu.gp.dof_factored import stencil_matvec_flat
+
+            ax = stencil_matvec_flat(
+                trajs, df.q_i2, df.k_s2, df.k_g2, df.dt
+            ).reshape(batch, -1)
+        else:
+            ax = trajs.reshape(batch, -1) @ self.a_dense
         bg = jnp.repeat(self.b, batch // self.num_goals, axis=0)
         g = (bg - ax).reshape(batch, t, d)
         return GNContrib(diag=diag, lower=lower, g=g)

@@ -107,6 +107,38 @@ def from_dof_planes(x_planes: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(x_planes.shape[1:-1] + (t, 2 * d))
 
 
+def stencil_matvec_flat(x, q_i2, k_s2, k_g2, dt):
+    """``A x`` for the factor-graph block-tridiagonal ``A`` (start anchor +
+    CV-GP chain + goal anchor, per-dof-isotropic 2x2 weights) on flat
+    ``[..., T, 2d]`` trajectories. Exact O(T) elementwise stencil — the
+    TPU-safe replacement for ``x @ A_dense`` (see module docstring)."""
+    d = x.shape[-1] // 2
+    p = x[..., :d]
+    v = x[..., d:]
+    q11, q12 = q_i2[0, 0], q_i2[0, 1]
+    q21, q22 = q_i2[1, 0], q_i2[1, 1]
+    rp = p[..., :-1, :] + dt * v[..., :-1, :] - p[..., 1:, :]
+    rv = v[..., :-1, :] - v[..., 1:, :]
+    a = q11 * rp + q12 * rv
+    b = q21 * rp + q22 * rv
+    pad_lo = [(0, 0)] * (p.ndim - 2)
+    yp = (
+        jnp.pad(a, pad_lo + [(0, 1), (0, 0)])
+        - jnp.pad(a, pad_lo + [(1, 0), (0, 0)])
+    )
+    bv = dt * a + b
+    yv = (
+        jnp.pad(bv, pad_lo + [(0, 1), (0, 0)])
+        - jnp.pad(b, pad_lo + [(1, 0), (0, 0)])
+    )
+    ks, kg = k_s2, k_g2
+    yp = yp.at[..., 0, :].add(ks[0, 0] * p[..., 0, :] + ks[0, 1] * v[..., 0, :])
+    yv = yv.at[..., 0, :].add(ks[1, 0] * p[..., 0, :] + ks[1, 1] * v[..., 0, :])
+    yp = yp.at[..., -1, :].add(kg[0, 0] * p[..., -1, :] + kg[0, 1] * v[..., -1, :])
+    yv = yv.at[..., -1, :].add(kg[1, 0] * p[..., -1, :] + kg[1, 1] * v[..., -1, :])
+    return jnp.concatenate([yp, yv], axis=-1)
+
+
 @struct.dataclass
 class DofFactoredPrior:
     """Shared per-dof sampling factor + precision in plane order.
@@ -121,6 +153,17 @@ class DofFactoredPrior:
     w_dof: jnp.ndarray
     prec_dof: jnp.ndarray
     traj_len: int = struct.field(pytree_node=False)
+    # factor-graph stencil of the same precision (2x2 per-dof blocks):
+    # Sigma^{-1} = K_s anchor(0) + sum_t F_t^T Q^{-1} F_t + K_g anchor(T-1).
+    # matvec runs on these — O(T) shifted-plane VPU math — instead of the
+    # [2T, 2T] MXU matmul: the precision's ~1/sigma^2 dt^-3 entries (1e10 at
+    # the Panda sigmas) make a default-precision TPU matmul bf16-garbage
+    # (the CLAUDE.md 1e8-weight trap, hit by the fused dof kernel in round 3),
+    # while the residual form has no cancellation and is f32-exact.
+    q_i2: jnp.ndarray | None = None  # [2, 2] CV-factor Q^{-1}
+    k_s2: jnp.ndarray | None = None  # [2, 2] start anchor weight
+    k_g2: jnp.ndarray | None = None  # [2, 2] goal anchor weight (zeros if none)
+    dt: float = struct.field(pytree_node=False, default=0.0)
 
     def sample_planes(self, key, mu_planes: jnp.ndarray, num_samples: int):
         """Draw ``[d, P, S, 2T]`` samples around ``mu_planes [d, P, 2T]``;
@@ -133,9 +176,43 @@ class DofFactoredPrior:
         return mu_planes[:, :, None] + corr, corr
 
     def matvec_planes(self, x_planes: jnp.ndarray) -> jnp.ndarray:
-        """``Sigma^{-1} x`` per dof: ``[d, ..., 2T] @ [2T, 2T]``."""
-        t2 = x_planes.shape[-1]
-        return (x_planes.reshape(-1, t2) @ self.prec_dof).reshape(x_planes.shape)
+        """``Sigma^{-1} x`` per dof on ``[d, ..., 2T]`` planes.
+
+        Factor-graph stencil (exact, O(T), no MXU): per factor
+        ``r_t = phi x_t - x_{t+1}``, ``y_t += phi^T Q^{-1} r_t``,
+        ``y_{t+1} -= Q^{-1} r_t``, plus the two anchors."""
+        if self.q_i2 is None:  # legacy pytrees without stencil params
+            t2 = x_planes.shape[-1]
+            return (x_planes.reshape(-1, t2) @ self.prec_dof).reshape(
+                x_planes.shape
+            )
+        t = self.traj_len
+        p = x_planes[..., :t]
+        v = x_planes[..., t:]
+        q11, q12 = self.q_i2[0, 0], self.q_i2[0, 1]
+        q21, q22 = self.q_i2[1, 0], self.q_i2[1, 1]
+        rp = p[..., :-1] + self.dt * v[..., :-1] - p[..., 1:]
+        rv = v[..., :-1] - v[..., 1:]
+        a = q11 * rp + q12 * rv  # (Q^{-1} r)_p
+        b = q21 * rp + q22 * rv  # (Q^{-1} r)_v
+        pad_lo = [(0, 0)] * (p.ndim - 1)
+        yp = jnp.pad(a, pad_lo + [(0, 1)]) - jnp.pad(a, pad_lo + [(1, 0)])
+        bv = self.dt * a + b  # (phi^T Q^{-1} r)_v
+        yv = jnp.pad(bv, pad_lo + [(0, 1)]) - jnp.pad(b, pad_lo + [(1, 0)])
+        ks, kg = self.k_s2, self.k_g2
+        yp = yp.at[..., 0].add(ks[0, 0] * p[..., 0] + ks[0, 1] * v[..., 0])
+        yv = yv.at[..., 0].add(ks[1, 0] * p[..., 0] + ks[1, 1] * v[..., 0])
+        yp = yp.at[..., -1].add(kg[0, 0] * p[..., -1] + kg[0, 1] * v[..., -1])
+        yv = yv.at[..., -1].add(kg[1, 0] * p[..., -1] + kg[1, 1] * v[..., -1])
+        return jnp.concatenate([yp, yv], axis=-1)
+
+    def matvec_flat(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``Sigma^{-1} x`` on flat ``[..., T, 2d]`` trajectories — the same
+        stencil as :meth:`matvec_planes` without the plane relayout, so the
+        legacy flat planner path gets the exact O(T) matvec too."""
+        return stencil_matvec_flat(
+            x, self.q_i2, self.k_s2, self.k_g2, self.dt
+        )
 
 
 def make_dof_factored_prior(
@@ -179,10 +256,18 @@ def make_dof_factored_prior(
         perm = plane_perm(traj_len)
         w_dof = _perm2(w1, perm)
         prec_dof = _perm2(prec1.to_dense(), perm)
+        k_g2 = (
+            jnp.zeros((2, 2), dtype=dtype) if k_g_inv is None
+            else jnp.asarray(k_g_inv, dtype=dtype)
+        )
     return DofFactoredPrior(
         w_dof=jnp.asarray(np.asarray(w_dof)),
         prec_dof=jnp.asarray(np.asarray(prec_dof)),
         traj_len=traj_len,
+        q_i2=jnp.asarray(np.asarray(q_inv)),
+        k_s2=jnp.asarray(np.asarray(k_s_inv)),
+        k_g2=jnp.asarray(np.asarray(k_g2)),
+        dt=float(dt),
     )
 
 
@@ -202,6 +287,17 @@ class DofQuadraticCost:
     num_goals: int = struct.field(pytree_node=False)
     n_dof: int = struct.field(pytree_node=False)
     traj_len: int = struct.field(pytree_node=False)
+    # factor-graph stencil parameters — eval runs in residual form
+    # (sum of local non-negative quadratics; exact, O(T), VPU-only) rather
+    # than ``x A x - 2 b x + c``: the latter feeds the ~1e10-scale GP
+    # precision through an MXU matmul whose default bf16 passes corrupt the
+    # massively-cancelling quadratic beyond use (measured on v5e, round 3).
+    q_i2: jnp.ndarray | None = None  # [2, 2] CV-factor Q^{-1}
+    k_s2: jnp.ndarray | None = None  # [2, 2] start anchor weight
+    k_g2: jnp.ndarray | None = None  # [2, 2] goal anchor weight (zeros if none)
+    s_pd: jnp.ndarray | None = None  # [d, 2] start (pos, vel) per dof
+    g_pd: jnp.ndarray | None = None  # [G, d, 2] goals (zeros if none)
+    dt: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
     def from_gp_and_goal_prior(cls, gp, goal_prior, traj_len: int) -> "DofQuadraticCost":
@@ -267,12 +363,22 @@ class DofQuadraticCost:
                 b_planes = b_planes.at[:, :, t - 1].add(bg[..., 0])
                 b_planes = b_planes.at[:, :, 2 * t - 1].add(bg[..., 1])
                 c = c + jnp.einsum("gdk,gdk->g", g_pd, bg)
+            else:
+                g_pd = jnp.zeros((g, n_dof, 2), dtype=dtype)
+            k_g2 = jnp.zeros((2, 2), dtype=dtype) if k_g is None else k_g
             a_dof = jnp.asarray(np.asarray(a_dof))
             b_planes = jnp.asarray(np.asarray(b_planes))
             c = jnp.asarray(np.asarray(c))
+            dt = float(np.asarray(phi)[0, 1])
         return cls(
             a_dof=a_dof, b_planes=b_planes, c=c, num_goals=g,
             n_dof=n_dof, traj_len=traj_len,
+            q_i2=jnp.asarray(np.asarray(q_i)),
+            k_s2=jnp.asarray(np.asarray(k_s)),
+            k_g2=jnp.asarray(np.asarray(k_g2)),
+            s_pd=jnp.asarray(np.asarray(s_pd)),
+            g_pd=jnp.asarray(np.asarray(g_pd)),
+            dt=dt,
         )
 
     def supports_dof_planes(self) -> bool:
@@ -288,7 +394,47 @@ class DofQuadraticCost:
 
     def eval_dof_planes(self, x_planes: jnp.ndarray, observation=None) -> jnp.ndarray:
         """``x_planes [d, B, 2T]`` (dof-leading, goal-major batch) -> ``[B]``
-        costs."""
+        costs, in factor-graph residual form (exact ``x A x - 2 b x + c``
+        rewritten as sums of local quadratics — no MXU, no cancellation)."""
+        if self.q_i2 is None:  # legacy pytrees without stencil params
+            return self.eval_dof_planes_dense(x_planes)
+        d, b, t2 = x_planes.shape
+        t = self.traj_len
+        p = x_planes[..., :t]
+        v = x_planes[..., t:]
+        q11, q12, q22 = self.q_i2[0, 0], self.q_i2[0, 1], self.q_i2[1, 1]
+        rp = p[..., :-1] + self.dt * v[..., :-1] - p[..., 1:]
+        rv = v[..., :-1] - v[..., 1:]
+        e = jnp.sum(
+            q11 * rp * rp + 2.0 * q12 * rp * rv + q22 * rv * rv, axis=(0, -1)
+        )
+        ks11, ks12, ks22 = self.k_s2[0, 0], self.k_s2[0, 1], self.k_s2[1, 1]
+        r0p = p[..., 0] - self.s_pd[:, None, 0]
+        r0v = v[..., 0] - self.s_pd[:, None, 1]
+        e = e + jnp.sum(
+            ks11 * r0p * r0p + 2.0 * ks12 * r0p * r0v + ks22 * r0v * r0v,
+            axis=0,
+        )
+        kg11, kg12, kg22 = self.k_g2[0, 0], self.k_g2[0, 1], self.k_g2[1, 1]
+        ppg = b // self.num_goals
+        rgp = (
+            p[..., -1].reshape(d, self.num_goals, ppg)
+            - self.g_pd[..., 0].T[:, :, None]
+        )
+        rgv = (
+            v[..., -1].reshape(d, self.num_goals, ppg)
+            - self.g_pd[..., 1].T[:, :, None]
+        )
+        e = e + jnp.sum(
+            kg11 * rgp * rgp + 2.0 * kg12 * rgp * rgv + kg22 * rgv * rgv,
+            axis=0,
+        ).reshape(b)
+        return e
+
+    def eval_dof_planes_dense(self, x_planes: jnp.ndarray) -> jnp.ndarray:
+        """The ``x A x - 2 b x + c`` matmul form — algebraically identical to
+        the stencil eval, kept for A/B tests. On TPU this form is NUMERICALLY
+        UNSAFE at the reference's Panda sigmas (see class docstring)."""
         d, b, t2 = x_planes.shape
         xa = (x_planes.reshape(-1, t2) @ self.a_dof).reshape(d, b, t2)
         quad = jnp.sum(xa * x_planes, axis=(0, -1))

@@ -5,13 +5,17 @@ collision-field evaluation (~81 of ~95 us/iter on the planar parity workload):
 both the XLA gather and the one-hot-matmul formulations materialize
 batch-sized intermediates in HBM. These kernels keep everything in VMEM:
 
-- ``grid_lookup``: occupancy-grid reads ``grid[y, x]`` via two chained
-  ``take_along_axis`` lane/sublane gathers on a VMEM-resident (padded square)
-  grid — semantics identical to ``OccupancyGridField(lookup='gather')``.
-  The decomposition: with per-column point assignment,
-  ``g0[r, c] = grid[r, cx[c]]`` (gather along axis 1), then
-  ``g1[r, c] = g0[cy[c], c] = grid[cy[c], cx[c]]`` (gather along axis 0);
-  row 0 of ``g1`` holds the result for all points of the tile.
+- ``grid_lookup``: occupancy-grid reads ``grid[y, x]`` on a VMEM-resident
+  (padded square) grid — semantics identical to
+  ``OccupancyGridField(lookup='gather')``. Mosaic's ``dynamic_gather`` is
+  vreg-local (<= 128 lanes; a 256-wide lane gather fails to lower —
+  measured on v5e round 3), so the decomposition keeps every gather inside
+  a vreg: points ride 128-lane rows; the column pick
+  ``g0[i, c] = grid[i, cx[c]]`` runs as one lane-local
+  ``take_along_axis`` per 128-column block of the grid with a lane-range
+  select between blocks; the row pick is an EXACT masked sublane reduction
+  ``out[c] = sum_i g0[i, c] * (i == cy[c])`` (single nonzero term — no
+  gather, no rounding).
 - ``primitive_field_cost``: analytic rect/circle occupancy counts, unrolled
   over primitives, zero HBM intermediates.
 
@@ -40,14 +44,25 @@ def _interpret() -> bool:
 
 
 def _grid_lookup_kernel(grid_ref, cy_ref, cx_ref, out_ref, *, rows):
-    n = grid_ref.shape[0]  # padded square side
+    n = grid_ref.shape[0]  # padded square side (multiple of 128)
     grid = grid_ref[:]
-    for r in range(rows):  # unrolled: one gather pair per row of n points
-        cx = jnp.broadcast_to(cx_ref[r : r + 1, :], (n, n))  # column c -> cx[c]
-        cy = jnp.broadcast_to(cy_ref[r : r + 1, :], (n, n))
-        g0 = jnp.take_along_axis(grid, cx, axis=1)  # g0[i, c] = grid[i, cx[c]]
-        g1 = jnp.take_along_axis(g0, cy, axis=0)  # g1[i, c] = grid[cy[c], cx[c]]
-        out_ref[r, :] = g1[0, :]
+    n_blk = n // 128
+    sub = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 0)  # sublane index
+    for r in range(rows):  # unrolled: 128 points per row
+        cx = jnp.broadcast_to(cx_ref[r : r + 1, :], (n, 128))
+        cy = jnp.broadcast_to(cy_ref[r : r + 1, :], (n, 128))
+        # column pick, one vreg-local lane gather per 128-column grid block
+        g0 = jnp.zeros((n, 128), dtype=grid.dtype)
+        for h in range(n_blk):
+            idx = jnp.clip(cx - 128 * h, 0, 127)
+            gh = jnp.take_along_axis(
+                grid[:, 128 * h : 128 * (h + 1)], idx, axis=1
+            )
+            in_blk = jnp.logical_and(cx >= 128 * h, cx < 128 * (h + 1))
+            g0 = jnp.where(in_blk, gh, g0)  # g0[i, c] = grid[i, cx[c]]
+        # row pick: exact masked sublane reduction (one nonzero term)
+        sel = (sub == cy).astype(grid.dtype)
+        out_ref[r, :] = jnp.sum(g0 * sel, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("cell_size",))
@@ -67,12 +82,12 @@ def grid_lookup(grid: jnp.ndarray, points: jnp.ndarray, cell_size: float) -> jnp
     cx = jnp.clip(cells[:, 0], 0, nx - 1)
     cy = jnp.clip(cells[:, 1], 0, ny - 1)
 
-    rows = 8  # sublane-aligned rows of n points per program
-    per_tile = rows * n
+    rows = 8  # sublane-aligned rows of 128 points per program
+    per_tile = rows * 128
     n_tiles = -(-num // per_tile)
     pad = n_tiles * per_tile - num
-    cx = jnp.pad(cx, (0, pad)).reshape(n_tiles * rows, n)
-    cy = jnp.pad(cy, (0, pad)).reshape(n_tiles * rows, n)
+    cx = jnp.pad(cx, (0, pad)).reshape(n_tiles * rows, 128)
+    cy = jnp.pad(cy, (0, pad)).reshape(n_tiles * rows, 128)
     grid_pad = jnp.pad(grid, ((0, n - ny), (0, n - nx)))
 
     out = pl.pallas_call(
@@ -80,11 +95,11 @@ def grid_lookup(grid: jnp.ndarray, points: jnp.ndarray, cell_size: float) -> jnp
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * rows, n), grid.dtype),
+        out_specs=pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * rows, 128), grid.dtype),
         interpret=_interpret(),
     )(grid_pad, cy, cx)
     return out.reshape(-1)[:num].reshape(batch_shape)

@@ -11,7 +11,13 @@ elementwise VPU math, so the entire stack fuses:
 
   1. eps ~ N(0, I) via hardware PRNG + Box-Muller,
   2. samples  x = mu_p + eps @ W                  (MXU, [N, M] @ [M, M]),
-  3. quadratic cost  x A x^T - 2 b_p . x          (MXU + VPU),
+  3. quadratic (GP + anchors) cost via the factor-graph STENCIL on the flat
+     t-major row — lane rolls by d/2d/3d align pos(t), vel(t), pos(t+1),
+     vel(t+1), masked residual quadratics (VPU-only). The former
+     ``x A x^T - 2 b x`` MXU form is numerically unusable on hardware: the
+     ~1e10-scale precision entries through the MXU's default bf16 passes
+     corrupt the massively-cancelling quadratic (measured on v5e round 3 —
+     see gp/dof_factored.py),
   4. per-dof 128-aligned time planes  x @ sel     (MXU; flat layout, no
      [.., T, 14] relayout — see ops/pallas/panda_fields.py),
   5. FK scalar planes -> self-RBF + obstacle-RBF fields, t=0 masked   (VPU),
@@ -44,9 +50,9 @@ def _kernel(
     seed_ref,  # [1, 1, 2] int32 (per particle block)
     means_ref,  # [PB, M]
     prec_u_ref,  # [PB, M]
-    b_ref,  # [PB, M]
+    anchors_ref,  # [PB, M] start/goal anchor VALUES on their lanes, 0 elsewhere
+    masks_ref,  # [3, M]: gp pos-lane (t<T-1), start pos-lane, goal pos-lane
     w_ref,  # [M, M] = L^{-T} transpose factor (samples = eps @ W)
-    a_ref,  # [M, M] quadratic cost matrix
     sel_ref,  # [M, n_dof*TPAD] plane-selection matrix
     spheres_ref,  # [O, 4]
     tmask_ref,  # [1, TPAD] collision mask (t=1..T-1)
@@ -67,12 +73,17 @@ def _kernel(
     w_pos,
     w_rot,
     target,  # np [4, 4] python-constant SE(3) goal
+    quad_stencil,  # (q_i2 [2,2], k_s2 [2,2], k_g2 [2,2], dt)
     temperature,
     step_size,
 ):
     p, s = num_particles, num_samples
     n = p * s
     m = means_ref.shape[-1]
+    q_i2, k_s2, k_g2, dt = quad_stencil
+    q11, q12, q22 = float(q_i2[0, 0]), float(q_i2[0, 1]), float(q_i2[1, 1])
+    ks11, ks12, ks22 = float(k_s2[0, 0]), float(k_s2[0, 1]), float(k_s2[1, 1])
+    kg11, kg12, kg22 = float(k_g2[0, 0]), float(k_g2[0, 1]), float(k_g2[1, 1])
 
     # --- 1. in-kernel N(0,1) (both Box-Muller outputs; see fused_step) -------
     from stoch_gpmp_tpu.ops.pallas.fused_step import _box_muller
@@ -84,11 +95,32 @@ def _kernel(
     mean_rows = jnp.repeat(means_ref[:], s, axis=0)  # [N, M]
     x = mean_rows + jnp.dot(eps, w_ref[:], preferred_element_type=jnp.float32)
 
-    # --- 3. quadratic (GP + start + goal-prior) cost ---------------------------
-    xa = jnp.dot(x, a_ref[:], preferred_element_type=jnp.float32)
-    cost = jnp.sum(xa * x, axis=1, keepdims=True)  # [N, 1]
-    b_rows = jnp.repeat(b_ref[:], s, axis=0)
-    cost = cost - 2.0 * jnp.sum(x * b_rows, axis=1, keepdims=True)
+    # --- 3. quadratic (GP + start + goal-prior) cost, factor-graph stencil -----
+    # t-major row layout: lane t*2d+j = pos_j(t), lane t*2d+d+j = vel_j(t).
+    # A left-shift by k lanes is a circular roll by m-k; wrapped lanes land
+    # outside the pos-lane masks. At a position lane l of step t:
+    #   xd[l] = vel(t), x1[l] = pos(t+1), x1d[l] = vel(t+1).
+    sd = 2 * n_dof
+    xd = pltpu.roll(x, shift=m - n_dof, axis=1)
+    x1 = pltpu.roll(x, shift=m - sd, axis=1)
+    x1d = pltpu.roll(x, shift=m - sd - n_dof, axis=1)
+    rp = x + dt * xd - x1
+    rv = xd - x1d
+    gp_m = masks_ref[0:1, :]
+    cost = jnp.sum(
+        (q11 * rp * rp + 2.0 * q12 * rp * rv + q22 * rv * rv) * gp_m,
+        axis=1, keepdims=True,
+    )  # [N, 1]
+    anch = jnp.repeat(anchors_ref[:], s, axis=0)
+    diff = x - anch  # anchor residuals on their lanes (junk elsewhere: masked)
+    diffd = pltpu.roll(diff, shift=m - n_dof, axis=1)  # vel residual at pos lane
+    es = (
+        ks11 * diff * diff + 2.0 * ks12 * diff * diffd + ks22 * diffd * diffd
+    ) * masks_ref[1:2, :]
+    eg = (
+        kg11 * diff * diff + 2.0 * kg12 * diff * diffd + kg22 * diffd * diffd
+    ) * masks_ref[2:3, :]
+    cost = cost + jnp.sum(es + eg, axis=1, keepdims=True)
 
     # --- 4. per-dof time planes + FK ------------------------------------------
     qsel = jnp.dot(x, sel_ref[:], preferred_element_type=jnp.float32)
@@ -194,9 +226,9 @@ def make_fused_panda_step(
     *,
     chain,
     weight_t: jnp.ndarray,  # [M, M]
-    a_dense: jnp.ndarray,  # [M, M]
-    b: jnp.ndarray,  # [P, M]
-    precision_dense: jnp.ndarray,  # [M, M]
+    dof_prior,  # DofFactoredPrior (exact stencil Sigma^{-1} matvec)
+    dof_quad,  # DofQuadraticCost (stencil params + start/goal anchors)
+    num_particles: int,
     spheres: jnp.ndarray,  # [O, 4]
     target_h: np.ndarray,  # [4, 4]
     n_dof: int,
@@ -220,11 +252,35 @@ def make_fused_panda_step(
     """
     state_dim = 2 * n_dof
     m = traj_len * state_dim
-    p = b.shape[0]
+    p = num_particles
     tpad = 128 * (-(-traj_len // 128))
     from stoch_gpmp_tpu.ops.pallas.panda_fields import make_traj_selection
 
     sel, tmask = make_traj_selection(n_dof, state_dim, traj_len, tpad)
+
+    # stencil constants + anchor-value rows + lane masks (t-major layout)
+    quad_stencil = (
+        np.asarray(dof_quad.q_i2, dtype=np.float64),
+        np.asarray(dof_quad.k_s2, dtype=np.float64),
+        np.asarray(dof_quad.k_g2, dtype=np.float64),
+        float(dof_quad.dt),
+    )
+    s_pd = np.asarray(dof_quad.s_pd, dtype=np.float32)  # [d, 2]
+    g_pd = np.asarray(dof_quad.g_pd, dtype=np.float32)  # [G, d, 2]
+    anchors_np = np.zeros((p, m), dtype=np.float32)
+    anchors_np[:, :n_dof] = s_pd[:, 0]
+    anchors_np[:, n_dof:state_dim] = s_pd[:, 1]
+    gp_rep = np.repeat(g_pd, p // dof_quad.num_goals, axis=0)  # [P, d, 2]
+    anchors_np[:, m - state_dim : m - n_dof] = gp_rep[..., 0]
+    anchors_np[:, m - n_dof :] = gp_rep[..., 1]
+    anchors = jnp.asarray(anchors_np)
+    lanes = np.arange(m)
+    is_pos = (lanes % state_dim) < n_dof
+    masks_np = np.zeros((3, m), dtype=np.float32)
+    masks_np[0] = (is_pos & (lanes < m - state_dim)).astype(np.float32)
+    masks_np[1] = (is_pos & (lanes < state_dim)).astype(np.float32)
+    masks_np[2] = (is_pos & (lanes >= m - state_dim)).astype(np.float32)
+    masks = jnp.asarray(masks_np)
 
     if particles_per_block is None:
         # the [PB*S, M] sample-stage buffers dominate; keep one around ~1 MB
@@ -255,6 +311,7 @@ def make_fused_panda_step(
         n_dof=n_dof, tpad=tpad, traj_len=traj_len, n_obst=n_obst, margin=margin,
         w_self=w_self, w_obst=w_obst, w_goal=w_goal, w_pos=w_pos, w_rot=w_rot,
         target=np.asarray(target_h, dtype=np.float64),
+        quad_stencil=quad_stencil,
         temperature=temperature, step_size=step_size,
     )
     vm = pltpu.VMEM
@@ -268,9 +325,9 @@ def make_fused_panda_step(
             pl.BlockSpec((1, 1, 2), per_b3, memory_space=vm),  # seeds
             pl.BlockSpec((pb, m), per_b, memory_space=vm),  # means
             pl.BlockSpec((pb, m), per_b, memory_space=vm),  # prec_u
-            pl.BlockSpec((pb, m), per_b, memory_space=vm),  # b
+            pl.BlockSpec((pb, m), per_b, memory_space=vm),  # anchors
+            pl.BlockSpec((3, m), const, memory_space=vm),  # masks
             pl.BlockSpec((m, m), const, memory_space=vm),  # W
-            pl.BlockSpec((m, m), const, memory_space=vm),  # A
             pl.BlockSpec((m, n_dof * tpad), const, memory_space=vm),  # sel
             pl.BlockSpec((int(spheres.shape[0]), 4), const, memory_space=vm),
             pl.BlockSpec((1, tpad), const, memory_space=vm),
@@ -288,10 +345,13 @@ def make_fused_panda_step(
 
     def step(means: jnp.ndarray, seeds: jnp.ndarray):
         means_flat = means.reshape(p, m)
-        prec_u = means_flat @ precision_dense  # tiny [P, M] matmul (XLA)
+        # exact O(T) stencil matvec — NOT the [M, M] precision matmul
+        prec_u = dof_prior.matvec_flat(
+            means_flat.reshape(p, traj_len, state_dim)
+        ).reshape(p, m)
         new_flat, costs = call(
-            seeds.reshape(n_blocks, 1, 2), means_flat, prec_u, b,
-            weight_t, a_dense, sel, spheres, tmask,
+            seeds.reshape(n_blocks, 1, 2), means_flat, prec_u, anchors,
+            masks, weight_t, sel, spheres, tmask,
         )
         return new_flat.reshape(p, traj_len, state_dim), costs
 

@@ -3,15 +3,20 @@
 Round 2's fused Panda kernel (``ops/pallas/panda_step.py``) could not run
 the scaling config: its ``[M, M]`` constants at M=1792 are ~38 MB and
 exceed VMEM. The dof factorization (``gp/dof_factored.py``) dissolves that
-blocker: with scalar sigmas the sampling factor / quadratic cost shrink to
-ONE shared ``[2T, 2T]`` block (~260 KB at T=128), so the whole iteration
-fuses at ANY particle count:
+blocker: with scalar sigmas the sampling factor shrinks to ONE shared
+``[2T, 2T]`` block (~260 KB at T=128), so the whole iteration fuses at ANY
+particle count:
 
-  per dof d (unrolled; all dofs share w_dof/a_dof):
+  per dof d (unrolled; all dofs share the factor):
     1. eps_d ~ N(0, I) via hardware PRNG + dual-output Box-Muller,
     2. x_d = mu_d + eps_d @ W_dof              (MXU, [N, 2T] @ [2T, 2T]),
-    3. quad += x_d A_dof x_d^T - 2 b_d . x_d   (MXU + VPU),
-    4. importance += tau * x_d . (Sigma^-1 mu)_d                    (VPU),
+    3. quad += GP factor-graph STENCIL energy of x_d (lane rolls + masked
+       residual quadratics — VPU-only; the ``x A x`` matmul form is
+       numerically unusable here: the ~1e10-scale precision entries through
+       the MXU's default bf16 passes corrupt the cancelling quadratic,
+       measured on v5e in round 3),
+    4. importance += tau * x_d . (Sigma^-1 mu)_d   (VPU; Sigma^-1 mu from
+       the exact stencil matvec outside the kernel),
   then, on the position planes q_d = x_d[:, :T] (exact lane slices —
   they fall out of the sampling matmul, no selection matmul, no relayout):
     5. FK scalar planes -> self-RBF + obstacle-RBF fields, t=0 masked (VPU),
@@ -43,9 +48,8 @@ def _kernel(
     seed_ref,  # [1, 1, 2] int32 (per particle block)
     means_ref,  # [D, PB, 2T]
     prec_u_ref,  # [D, PB, 2T]
-    b_ref,  # [D, PB, 2T]
+    goals_ref,  # [D, PB, 2] per-particle goal (pos, vel) anchor values
     w_ref,  # [2T, 2T] shared sampling factor (x = eps @ W)
-    a_ref,  # [2T, 2T] shared quadratic cost block
     spheres_ref,  # [O, 4]
     tmask_ref,  # [1, T]
     new_means_ref,  # out [D, PB, 2T]
@@ -64,6 +68,7 @@ def _kernel(
     w_pos,
     w_rot,
     target,  # np [4, 4] python-constant SE(3) goal
+    quad_stencil,  # (q_i2 [2,2], k_s2 [2,2], k_g2 [2,2], s_pd [d,2], dt)
     temperature,
     step_size,
 ):
@@ -73,10 +78,19 @@ def _kernel(
     n = p * s
     t = traj_len
     t2 = 2 * t
+    q_i2, k_s2, k_g2, s_pd, dt = quad_stencil
+    q11, q12, q22 = float(q_i2[0, 0]), float(q_i2[0, 1]), float(q_i2[1, 1])
+    ks11, ks12, ks22 = float(k_s2[0, 0]), float(k_s2[0, 1]), float(k_s2[1, 1])
+    kg11, kg12, kg22 = float(k_g2[0, 0]), float(k_g2[0, 1]), float(k_g2[1, 1])
 
     pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
 
-    # --- per-dof sampling + quadratic + importance ---------------------------
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, t), 1)
+    gp_mask = (lane < t - 1).astype(jnp.float32)
+    onehot0 = (lane == 0).astype(jnp.float32)
+    onehot_last = (lane == t - 1).astype(jnp.float32)
+
+    # --- per-dof sampling + stencil quadratic + importance -------------------
     xs = []
     cost = None
     for d in range(n_dof):
@@ -84,10 +98,36 @@ def _kernel(
         mu_rows = jnp.repeat(means_ref[d], s, axis=0)  # [N, 2T]
         x = mu_rows + jnp.dot(eps, w_ref[:], preferred_element_type=jnp.float32)
         xs.append((x, mu_rows))
-        xa = jnp.dot(x, a_ref[:], preferred_element_type=jnp.float32)
-        term = jnp.sum(xa * x, axis=1, keepdims=True)  # [N, 1]
-        b_rows = jnp.repeat(b_ref[d], s, axis=0)
-        term = term - 2.0 * jnp.sum(x * b_rows, axis=1, keepdims=True)
+        # GP factor energy: r_t = phi x_t - x_{t+1} on rolled planes
+        p_ = x[:, :t]
+        v_ = x[:, t:]
+        # left-shift by one lane == circular roll by t-1 (Mosaic's roll
+        # requires a non-negative shift); the wrapped lane is masked out
+        p1 = pltpu.roll(p_, shift=t - 1, axis=1)
+        v1 = pltpu.roll(v_, shift=t - 1, axis=1)
+        rp = (p_ + dt * v_ - p1) * gp_mask
+        rv = (v_ - v1) * gp_mask
+        term = jnp.sum(
+            q11 * rp * rp + 2.0 * q12 * rp * rv + q22 * rv * rv,
+            axis=1, keepdims=True,
+        )  # [N, 1]
+        # start anchor (global python constants per dof)
+        p0 = jnp.sum(p_ * onehot0, axis=1, keepdims=True)
+        v0 = jnp.sum(v_ * onehot0, axis=1, keepdims=True)
+        r0p = p0 - float(s_pd[d, 0])
+        r0v = v0 - float(s_pd[d, 1])
+        term = term + (
+            ks11 * r0p * r0p + 2.0 * ks12 * r0p * r0v + ks22 * r0v * r0v
+        )
+        # goal anchor (per-particle values)
+        pl_ = jnp.sum(p_ * onehot_last, axis=1, keepdims=True)
+        vl_ = jnp.sum(v_ * onehot_last, axis=1, keepdims=True)
+        rgp = pl_ - jnp.repeat(goals_ref[d][:, 0:1], s, axis=0)
+        rgv = vl_ - jnp.repeat(goals_ref[d][:, 1:2], s, axis=0)
+        term = term + (
+            kg11 * rgp * rgp + 2.0 * kg12 * rgp * rgv + kg22 * rgv * rgv
+        )
+        # importance: tau * x . (Sigma^{-1} mu)_d
         pu_rows = jnp.repeat(prec_u_ref[d], s, axis=0)
         term = term + temperature * jnp.sum(x * pu_rows, axis=1, keepdims=True)
         cost = term if cost is None else cost + term
@@ -184,10 +224,9 @@ def _kernel(
 def make_fused_panda_dof_step(
     *,
     chain,
-    w_dof: jnp.ndarray,  # [2T, 2T]
-    a_dof: jnp.ndarray,  # [2T, 2T]
-    b_planes_p: jnp.ndarray,  # [D, P, 2T] per-particle linear term
-    prec_dof: jnp.ndarray,  # [2T, 2T]
+    dof_prior,  # DofFactoredPrior (sampling factor + exact stencil matvec)
+    dof_quad,  # DofQuadraticCost (stencil params; a_dof/b unused here)
+    num_particles: int,
     spheres: jnp.ndarray,  # [O, 4]
     target_h: np.ndarray,  # [4, 4]
     n_dof: int,
@@ -202,14 +241,31 @@ def make_fused_panda_dof_step(
     temperature: float = 1.0,
     step_size: float = 0.1,
     particles_per_block: int | None = None,
+    w_dof: jnp.ndarray | None = None,
 ):
     """Build ``step(means_planes [D, P, 2T], seeds [n_blocks, 2] int32) ->
     (new_means_planes, costs [P, S])`` running the whole dof-factored Panda
     iteration as one Pallas call. Requires ``traj_len`` a multiple of 128
-    (the plane lanes; config-5's T=128 natively)."""
+    (the plane lanes; config-5's T=128 natively). ``w_dof`` overrides the
+    sampling factor (tests pass zeros for RNG-free parity)."""
     t2 = 2 * traj_len
-    d_, p = b_planes_p.shape[0], b_planes_p.shape[1]
-    assert d_ == n_dof
+    p = num_particles
+    w_dof = dof_prior.w_dof if w_dof is None else w_dof
+
+    # per-particle goal anchors [D, P, 2] (goal-major particle batch)
+    g_pd = np.asarray(dof_quad.g_pd, dtype=np.float32)  # [G, d, 2]
+    goals_p = jnp.asarray(
+        np.repeat(
+            np.transpose(g_pd, (1, 0, 2)), p // dof_quad.num_goals, axis=1
+        )
+    )  # [D, P, 2]
+    quad_stencil = (
+        np.asarray(dof_quad.q_i2, dtype=np.float64),
+        np.asarray(dof_quad.k_s2, dtype=np.float64),
+        np.asarray(dof_quad.k_g2, dtype=np.float64),
+        np.asarray(dof_quad.s_pd, dtype=np.float64),
+        float(dof_quad.dt),
+    )
 
     if particles_per_block is None:
         # per-dof x buffers dominate: D * PB * S * 2T * 4 bytes; keep the
@@ -237,6 +293,7 @@ def make_fused_panda_dof_step(
         n_dof=n_dof, traj_len=traj_len, n_obst=n_obst, margin=margin,
         w_self=w_self, w_obst=w_obst, w_goal=w_goal, w_pos=w_pos, w_rot=w_rot,
         target=np.asarray(target_h, dtype=np.float64),
+        quad_stencil=quad_stencil,
         temperature=temperature, step_size=step_size,
     )
     vm = pltpu.VMEM
@@ -249,9 +306,8 @@ def make_fused_panda_dof_step(
             pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=vm),
             pl.BlockSpec((n_dof, pb, t2), per_b3, memory_space=vm),  # means
             pl.BlockSpec((n_dof, pb, t2), per_b3, memory_space=vm),  # prec_u
-            pl.BlockSpec((n_dof, pb, t2), per_b3, memory_space=vm),  # b
+            pl.BlockSpec((n_dof, pb, 2), per_b3, memory_space=vm),  # goals
             pl.BlockSpec((t2, t2), const, memory_space=vm),  # W
-            pl.BlockSpec((t2, t2), const, memory_space=vm),  # A
             pl.BlockSpec((int(spheres.shape[0]), 4), const, memory_space=vm),
             pl.BlockSpec((1, traj_len), const, memory_space=vm),
         ],
@@ -267,12 +323,11 @@ def make_fused_panda_dof_step(
     )
 
     def step(means_planes: jnp.ndarray, seeds: jnp.ndarray):
-        prec_u = (means_planes.reshape(-1, t2) @ prec_dof).reshape(
-            n_dof, p, t2
-        )
+        # exact O(T) stencil matvec — NOT the [2T, 2T] precision matmul
+        prec_u = dof_prior.matvec_planes(means_planes)
         return call(
-            seeds.reshape(n_blocks, 1, 2), means_planes, prec_u, b_planes_p,
-            w_dof, a_dof, spheres, tmask,
+            seeds.reshape(n_blocks, 1, 2), means_planes, prec_u, goals_p,
+            w_dof, spheres, tmask,
         )
 
     step.n_blocks = n_blocks

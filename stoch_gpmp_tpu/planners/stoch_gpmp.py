@@ -186,14 +186,19 @@ def stoch_gpmp_step(
     ).reshape(p, num_samples)
 
     # --- importance-sampling correction: + tau * V Sigma^{-1} U
-    # (reference planner.py:234-236); Sigma^{-1} applied as one dense MXU
-    # matmul when materialized (precision is symmetric), else the O(T d^2)
-    # block-tridiagonal matvec ---
-    if sampler.precision_dense is not None:
+    # (reference planner.py:234-236). Sigma^{-1} u via the exact O(T)
+    # factor-graph stencil when the prior is dof-factored (scalar sigmas —
+    # always, for the reference API): the dense [M, M] matmul feeds the
+    # ~1e10-scale precision through default bf16 MXU passes on TPU
+    # (gp/dof_factored.py); dense/structured forms remain as fallbacks ---
+    if sampler.dof is not None and sampler.dof.q_i2 is not None:
+        prec_u = sampler.dof.matvec_flat(means).reshape(p, m)
+    elif sampler.precision_dense is not None:
         prec_u = means_flat @ sampler.precision_dense  # [P, M]
     else:
         prec_u = sampler.precision.matvec(means).reshape(p, m)
-    costs = costs + temperature * jnp.einsum("psm,pm->ps", flat, prec_u)
+    # elementwise multiply + reduce (VPU-exact), not a dot_general
+    costs = costs + temperature * jnp.sum(flat * prec_u[:, None], axis=-1)
 
     # --- softmax re-weighting and mean update (planner.py:263-275) ---
     weights = jax.nn.softmax(-costs / temperature, axis=1)  # over samples
@@ -320,8 +325,13 @@ def _stoch_gpmp_optimize_dof(
             x.reshape(d2 // 2, p * num_samples, 2 * t),
             observation=observation,
         ).reshape(p, num_samples)
-        pu = dof.matvec_planes(mu_planes)  # [d, P, 2T]
-        costs = costs + temperature * jnp.einsum("dpsk,dpk->ps", x, pu)
+        pu = dof.matvec_planes(mu_planes)  # [d, P, 2T] (exact stencil)
+        # elementwise multiply + reduce (VPU-exact) — an einsum here becomes
+        # a dot_general whose default bf16 MXU passes add noise at the
+        # ~1e6-scale pu entries
+        costs = costs + temperature * jnp.sum(
+            x * pu[:, :, None, :], axis=(0, -1)
+        )
         weights = jax.nn.softmax(-costs / temperature, axis=1)
         grad = jnp.einsum("ps,dpsk->dpk", weights, corr)
         new_mu = mu_planes + step_size * grad

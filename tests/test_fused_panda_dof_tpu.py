@@ -2,8 +2,12 @@
 
 Validation mirrors tests/test_fused_panda_tpu.py:
 - exact cost parity, RNG-free: with ``w_dof = 0`` every sample equals the
-  particle mean, so per-sample costs must match the XLA dof fast stack
-  (DofQuadraticCost + PlaneFieldsCost + importance) of the means;
+  particle mean, so per-sample costs must match a float64 HOST evaluation
+  of the same stack (stencil quadratic + fields + importance). The host
+  oracle is f64 numpy ON CPU — comparing against the on-TPU dense-matmul
+  quadratic would validate nothing (its bf16 MXU passes corrupt the
+  ~1e10-conditioned quadratic; that trap is exactly what the stencil kernel
+  fixes, see gp/dof_factored.py);
 - behavior: fused iterations at the scaling shape (T=128) descend like the
   XLA dof path with the start anchored.
 """
@@ -31,23 +35,18 @@ def _problem(num_goals=2, ppg=4, num_samples=8):
 
 
 def _build_step(sampler, cost, state, obs, num_samples, w_dof=None,
-                a_dof=None, b=None, temperature=1.0, step_size=0.1):
+                dof_quad=None, temperature=1.0, step_size=0.1):
     from stoch_gpmp_tpu.ops.pallas.panda_step_dof import (
         make_fused_panda_dof_step,
     )
 
     quad, fields = cost.costs
-    dq = quad.dof_form
     p = state.particle_means.shape[0]
-    b_planes_p = jnp.repeat(
-        jnp.transpose(dq.b_planes, (1, 0, 2)), p // dq.num_goals, axis=1
-    )  # [D, P, 2T]
     return make_fused_panda_dof_step(
         chain=fields.chain,
-        w_dof=sampler.dof.w_dof if w_dof is None else w_dof,
-        a_dof=dq.a_dof if a_dof is None else a_dof,
-        b_planes_p=b_planes_p if b is None else b,
-        prec_dof=sampler.dof.prec_dof,
+        dof_prior=sampler.dof,
+        dof_quad=quad.dof_form if dof_quad is None else dof_quad,
+        num_particles=p,
         spheres=obs["obstacle_spheres"],
         target_h=np.asarray(fields.target_h, dtype=np.float64),
         n_dof=7, traj_len=128, num_samples=num_samples,
@@ -56,7 +55,37 @@ def _build_step(sampler, cost, state, obs, num_samples, w_dof=None,
         w_obst=1.0 / fields.sigma_coll**2,
         w_goal=1.0 / fields.sigma_goal**2,
         temperature=temperature, step_size=step_size,
+        w_dof=w_dof,
     )
+
+
+def _host_f64_quad(dq, mu_planes):
+    """Float64 numpy oracle of the stencil quadratic on ``[d, P, 2T]``."""
+    x = np.asarray(mu_planes, dtype=np.float64)
+    d, p_, t2 = x.shape
+    t = t2 // 2
+    q = np.asarray(dq.q_i2, dtype=np.float64)
+    ks = np.asarray(dq.k_s2, dtype=np.float64)
+    kg = np.asarray(dq.k_g2, dtype=np.float64)
+    s_pd = np.asarray(dq.s_pd, dtype=np.float64)
+    g_pd = np.asarray(dq.g_pd, dtype=np.float64)
+    dt = float(dq.dt)
+    pos, vel = x[..., :t], x[..., t:]
+    rp = pos[..., :-1] + dt * vel[..., :-1] - pos[..., 1:]
+    rv = vel[..., :-1] - vel[..., 1:]
+    e = (q[0, 0] * rp * rp + 2 * q[0, 1] * rp * rv + q[1, 1] * rv * rv).sum(
+        axis=(0, 2)
+    )
+    r0p = pos[..., 0] - s_pd[:, None, 0]
+    r0v = vel[..., 0] - s_pd[:, None, 1]
+    e += (ks[0, 0] * r0p**2 + 2 * ks[0, 1] * r0p * r0v + ks[1, 1] * r0v**2).sum(0)
+    ppg = p_ // dq.num_goals
+    gp = np.repeat(g_pd[:, :, 0].T, ppg, axis=1)  # [d, P]
+    gv = np.repeat(g_pd[:, :, 1].T, ppg, axis=1)
+    rgp = pos[..., -1] - gp
+    rgv = vel[..., -1] - gv
+    e += (kg[0, 0] * rgp**2 + 2 * kg[0, 1] * rgp * rgv + kg[1, 1] * rgv**2).sum(0)
+    return e
 
 
 def test_fused_dof_cost_parity_rng_free():
@@ -67,17 +96,17 @@ def test_fused_dof_cost_parity_rng_free():
     zero_w = jnp.zeros((t2, t2), jnp.float32)
     means = state.particle_means
     p = means.shape[0]
-    mu_planes = to_dof_planes(means)  # [D, P, 2T]
-    pu = sampler.dof.matvec_planes(mu_planes)
+    mu_planes = to_dof_planes(means)
+    pu = sampler.dof.matvec_planes(mu_planes)  # exact stencil matvec
     imp = np.asarray(jnp.einsum("dpk,dpk->p", mu_planes, pu))
     quad, fields = cost.costs
 
-    # --- tier 1: fields + goal + importance ---------------------------------
-    d_, _, _ = mu_planes.shape
+    # --- tier 1: fields + goal + importance (quadratic zeroed) --------------
+    z22 = jnp.zeros((2, 2), jnp.float32)
+    dq = quad.dof_form
+    dq_zero = dq.replace(q_i2=z22, k_s2=z22, k_g2=z22)
     step_f = _build_step(
-        sampler, cost, state, obs, s, w_dof=zero_w,
-        a_dof=jnp.zeros((t2, t2), jnp.float32),
-        b=jnp.zeros((d_, p, t2), jnp.float32),
+        sampler, cost, state, obs, s, w_dof=zero_w, dof_quad=dq_zero,
     )
     seeds = jnp.zeros((step_f.n_blocks, 2), jnp.int32)
     _, costs_f = jax.jit(step_f)(mu_planes, seeds)
@@ -86,15 +115,12 @@ def test_fused_dof_cost_parity_rng_free():
         np.asarray(costs_f), ref_f[:, None] * np.ones((p, s)), rtol=3e-4
     )
 
-    # --- tier 2: full stack within the f32 accumulation envelope ------------
+    # --- tier 2: full stack vs the f64 host stencil oracle ------------------
     step = _build_step(sampler, cost, state, obs, s, w_dof=zero_w)
     _, costs = jax.jit(step)(mu_planes, seeds)
-    c_per_p = np.asarray(
-        jnp.repeat(quad.dof_form.c, p // quad.num_goals, axis=0)
-    )
-    ref = np.asarray(cost.eval(means, observation=obs)) + imp - c_per_p
+    ref = _host_f64_quad(dq, mu_planes) + ref_f
     np.testing.assert_allclose(
-        np.asarray(costs), ref[:, None] * np.ones((p, s)), rtol=1e-2
+        np.asarray(costs), ref[:, None] * np.ones((p, s)), rtol=1e-3
     )
     # with identical samples the means must not move
     new_planes, _ = jax.jit(step)(mu_planes, seeds)
@@ -119,7 +145,13 @@ def test_fused_dof_descends_like_xla_path():
     means = np.asarray(from_dof_planes(planes))
     assert np.isfinite(means).all()
 
-    cost_of = jax.jit(lambda tr: cost.eval(tr, observation=obs).mean())
+    # evaluate through the dof stencil (exact on TPU) — cost.eval's flat
+    # dense-matmul quadratic is bf16-degraded on the MXU at these sigmas
+    cost_of = jax.jit(
+        lambda tr: cost.eval_dof_planes(
+            to_dof_planes(tr), observation=obs
+        ).mean()
+    )
     c0 = float(cost_of(state.particle_means))
     c_fused = float(cost_of(jnp.asarray(means)))
     assert c_fused < c0
@@ -133,7 +165,9 @@ def test_fused_dof_descends_like_xla_path():
     c_xla = float(cost_of(xla_state.particle_means))
     assert (c0 - c_fused) > 0.5 * (c0 - c_xla)
 
-    start = np.asarray(state.particle_means[0, 0])
-    np.testing.assert_allclose(
-        means[:, 0], np.broadcast_to(start, means[:, 0].shape), atol=2e-2
-    )
+    # anchor check is PER PARTICLE: the problem has two goals, and the
+    # const-vel initialization gives each goal group a different t=0
+    # VELOCITY (spread ~0.085) — comparing every particle against particle
+    # 0's initial state would flag that initialization spread as drift
+    init0 = np.asarray(state.particle_means)[:, 0]
+    np.testing.assert_allclose(means[:, 0], init0, atol=2e-2)
