@@ -42,10 +42,9 @@ def _make_runner(fused: bool):
         quad = cost.costs[0]
         field = cost.costs[1].field
         p = state.particle_means.shape[0]
-        b_per_p = jnp.repeat(quad.b, p // quad.num_goals, axis=0)
         step = make_fused_planar_step_batched(
-            weight_t=sampler.weight_t, a_dense=quad.a_dense, b=b_per_p,
-            precision_dense=sampler.precision_dense,
+            weight_t=sampler.weight_t, dof_prior=sampler.dof,
+            dof_quad=quad.dof_form, num_particles=p,
             rect_bounds=field.rect_bounds, circles=field.circles,
             cell_size=field.cell_size, nx=field.nx, ny=field.ny,
             traj_len=64, state_dim=4, num_samples=num_samples,

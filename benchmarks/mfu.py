@@ -140,8 +140,9 @@ def xla_stoch_gpmp_mfu(name, sampler, cost, state, obs, *, num_samples,
 def fused_planar_mfu(name, ppg, num_samples, opt_iters, n_chunks=3):
     """Planar fused-kernel configs; analytic FLOPs (Pallas is opaque to the
     XLA cost model). Per particle per iteration the kernel's MXU work is the
-    sampling matmul ``[S, M] @ [M, M]`` and the quadratic-cost matmul
-    ``[S+1, M] @ [M, M]`` (ops/pallas/fused_step.py)."""
+    sampling matmul ``[S, M] @ [M, M]`` plus the two ``[S, M] @ [M, T]``
+    coordinate-selection matmuls (ops/pallas/fused_step.py; the quadratic
+    runs as the O(T) VPU stencil since round 3's precision-trap fix)."""
     from benchmarks.run import _planar_problem
     from stoch_gpmp_tpu.ops.pallas.fused_step import (
         fused_planar_optimize_batched,
@@ -152,10 +153,9 @@ def fused_planar_mfu(name, ppg, num_samples, opt_iters, n_chunks=3):
     quad = cost.costs[0]
     field = cost.costs[1].field
     p = state.particle_means.shape[0]
-    b_per_p = jnp.repeat(quad.b, p // quad.num_goals, axis=0)
     step = make_fused_planar_step_batched(
-        weight_t=sampler.weight_t, a_dense=quad.a_dense, b=b_per_p,
-        precision_dense=sampler.precision_dense,
+        weight_t=sampler.weight_t, dof_prior=sampler.dof,
+        dof_quad=quad.dof_form, num_particles=p,
         rect_bounds=field.rect_bounds, circles=field.circles,
         cell_size=field.cell_size, nx=field.nx, ny=field.ny,
         traj_len=64, state_dim=4, num_samples=num_samples,
@@ -174,7 +174,7 @@ def fused_planar_mfu(name, ppg, num_samples, opt_iters, n_chunks=3):
 
     m = 4 * 64  # state_dim * traj_len
     s = num_samples
-    flops_iter = p * (2 * s * m * m + 2 * (s + 1) * m * m)
+    flops_iter = p * (2 * s * m * m + 2 * 2 * s * m * 64)
     # HBM traffic per iter: means in/out + eps generation is in-kernel; the
     # [M, M] constants are re-read per particle block from HBM into VMEM.
     bytes_iter = 4 * (2 * p * m + 2 * m * m * (p // 8 if p >= 8 else 1))

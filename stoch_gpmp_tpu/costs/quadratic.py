@@ -114,26 +114,31 @@ class QuadraticCost(Cost):
         return quad - 2.0 * lin + cg
 
     def _eval_stencil(self, trajs):
-        """Factor-graph residual form of the same quadratic, in the flat
-        ``[B, T, 2d]`` layout (elementwise + reductions only). Algebraically
-        identical to ``x A x - 2 b x + c`` but TPU-SAFE: the dense form
-        routes the ~1e10-scale GP precision through MXU matmuls whose
-        default bf16 passes corrupt the massively-cancelling quadratic
-        (measured on v5e — see gp/dof_factored.py)."""
+        """Factor-graph residual form of the same quadratic on flat-LANE
+        slices of the t-major ``[B, M]`` row (no d-minor tile pad, no
+        relayout). Algebraically identical to ``x A x - 2 b x + c`` but
+        TPU-SAFE: the dense form routes the ~1e10-scale GP precision
+        through MXU matmuls whose default bf16 passes corrupt the
+        massively-cancelling quadratic (measured on v5e — see
+        gp/dof_factored.py)."""
+        from stoch_gpmp_tpu.gp.dof_factored import _lane_slices
+
         df = self.dof_form
         batch = trajs.shape[0]
-        x = trajs.reshape(batch, self.traj_len, self.state_dim)
-        dof = self.state_dim // 2
-        pos, vel = x[..., :dof], x[..., dof:]
+        d = self.state_dim // 2
+        sd = self.state_dim
+        m = self.traj_len * sd
+        x = trajs.reshape(batch, m)
+        x0, xd, x1, x1d, mask = _lane_slices(x, d)
         q11, q12, q22 = df.q_i2[0, 0], df.q_i2[0, 1], df.q_i2[1, 1]
-        rp = pos[:, :-1] + df.dt * vel[:, :-1] - pos[:, 1:]
-        rv = vel[:, :-1] - vel[:, 1:]
+        rp = (x0 + df.dt * xd - x1) * mask
+        rv = (xd - x1d) * mask
         e = jnp.sum(
-            q11 * rp * rp + 2.0 * q12 * rp * rv + q22 * rv * rv, axis=(1, 2)
+            q11 * rp * rp + 2.0 * q12 * rp * rv + q22 * rv * rv, axis=-1
         )
         ks11, ks12, ks22 = df.k_s2[0, 0], df.k_s2[0, 1], df.k_s2[1, 1]
-        r0p = pos[:, 0] - df.s_pd[None, :, 0]
-        r0v = vel[:, 0] - df.s_pd[None, :, 1]
+        r0p = x[:, :d] - df.s_pd[None, :, 0]
+        r0v = x[:, d:sd] - df.s_pd[None, :, 1]
         e = e + jnp.sum(
             ks11 * r0p * r0p + 2.0 * ks12 * r0p * r0v + ks22 * r0v * r0v,
             axis=-1,
@@ -141,11 +146,11 @@ class QuadraticCost(Cost):
         kg11, kg12, kg22 = df.k_g2[0, 0], df.k_g2[0, 1], df.k_g2[1, 1]
         ppg = batch // self.num_goals
         rgp = (
-            pos[:, -1].reshape(self.num_goals, ppg, dof)
+            x[:, m - sd : m - d].reshape(self.num_goals, ppg, d)
             - df.g_pd[:, None, :, 0]
         )
         rgv = (
-            vel[:, -1].reshape(self.num_goals, ppg, dof)
+            x[:, m - d :].reshape(self.num_goals, ppg, d)
             - df.g_pd[:, None, :, 1]
         )
         e = e + jnp.sum(

@@ -107,36 +107,64 @@ def from_dof_planes(x_planes: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(x_planes.shape[1:-1] + (t, 2 * d))
 
 
+def _lane_slices(x, n_dof):
+    """Shifted flat-lane views for the t-major layout (lane ``t*2d + j`` =
+    pos_j(t), ``t*2d + d + j`` = vel_j(t)): at a position lane ``l`` of step
+    ``t < T-1``, returns ``(pos(t), vel(t), pos(t+1), vel(t+1))`` as
+    ``[..., L]`` slices with ``L = M - 3d`` (every needed position lane is
+    ``< L``), plus the pos-lane mask."""
+    m = x.shape[-1]
+    sd = 2 * n_dof
+    lng = m - 3 * n_dof
+    x0 = x[..., :lng]
+    xd = x[..., n_dof : lng + n_dof]
+    x1 = x[..., sd : lng + sd]
+    x1d = x[..., sd + n_dof : lng + sd + n_dof]
+    lanes = np.arange(lng)
+    mask = jnp.asarray(((lanes % sd) < n_dof).astype(np.float32), dtype=x.dtype)
+    return x0, xd, x1, x1d, mask
+
+
 def stencil_matvec_flat(x, q_i2, k_s2, k_g2, dt):
     """``A x`` for the factor-graph block-tridiagonal ``A`` (start anchor +
     CV-GP chain + goal anchor, per-dof-isotropic 2x2 weights) on flat
     ``[..., T, 2d]`` trajectories. Exact O(T) elementwise stencil — the
-    TPU-safe replacement for ``x @ A_dense`` (see module docstring)."""
+    TPU-safe replacement for ``x @ A_dense`` (see module docstring).
+
+    Runs on flat-LANE slices of the t-major ``[..., M]`` row: a
+    ``[..., T, d]`` formulation would put the d-wide state on the lane dim
+    and pad 14 -> 128 on TPU tiles (9x traffic — the known d-minor trap);
+    lane-shifted slices of the flat row stay dense."""
     d = x.shape[-1] // 2
-    p = x[..., :d]
-    v = x[..., d:]
+    t = x.shape[-2]
+    lead = x.shape[:-2]
+    m = t * 2 * d
+    sd = 2 * d
+    xf = x.reshape(lead + (m,))
+    x0, xd, x1, x1d, mask = _lane_slices(xf, d)
     q11, q12 = q_i2[0, 0], q_i2[0, 1]
     q21, q22 = q_i2[1, 0], q_i2[1, 1]
-    rp = p[..., :-1, :] + dt * v[..., :-1, :] - p[..., 1:, :]
-    rv = v[..., :-1, :] - v[..., 1:, :]
-    a = q11 * rp + q12 * rv
-    b = q21 * rp + q22 * rv
-    pad_lo = [(0, 0)] * (p.ndim - 2)
-    yp = (
-        jnp.pad(a, pad_lo + [(0, 1), (0, 0)])
-        - jnp.pad(a, pad_lo + [(1, 0), (0, 0)])
-    )
-    bv = dt * a + b
-    yv = (
-        jnp.pad(bv, pad_lo + [(0, 1), (0, 0)])
-        - jnp.pad(b, pad_lo + [(1, 0), (0, 0)])
+    rp = (x0 + dt * xd - x1) * mask
+    rv = (xd - x1d) * mask
+    a = q11 * rp + q12 * rv  # (Q^{-1} r)_p at pos lane l
+    b = q21 * rp + q22 * rv  # (Q^{-1} r)_v
+    pad_lo = [(0, 0)] * (xf.ndim - 1)
+    # y += phi^T Q^{-1} r at step t (lanes l, l+d), -= Q^{-1} r at step t+1
+    # (lanes l+2d, l+3d)
+    y = (
+        jnp.pad(a, pad_lo + [(0, 3 * d)])
+        + jnp.pad(dt * a + b, pad_lo + [(d, 2 * d)])
+        - jnp.pad(a, pad_lo + [(sd, d)])
+        - jnp.pad(b, pad_lo + [(3 * d, 0)])
     )
     ks, kg = k_s2, k_g2
-    yp = yp.at[..., 0, :].add(ks[0, 0] * p[..., 0, :] + ks[0, 1] * v[..., 0, :])
-    yv = yv.at[..., 0, :].add(ks[1, 0] * p[..., 0, :] + ks[1, 1] * v[..., 0, :])
-    yp = yp.at[..., -1, :].add(kg[0, 0] * p[..., -1, :] + kg[0, 1] * v[..., -1, :])
-    yv = yv.at[..., -1, :].add(kg[1, 0] * p[..., -1, :] + kg[1, 1] * v[..., -1, :])
-    return jnp.concatenate([yp, yv], axis=-1)
+    p0, v0 = xf[..., :d], xf[..., d:sd]
+    pl_, vl_ = xf[..., m - sd : m - d], xf[..., m - d :]
+    y = y.at[..., :d].add(ks[0, 0] * p0 + ks[0, 1] * v0)
+    y = y.at[..., d:sd].add(ks[1, 0] * p0 + ks[1, 1] * v0)
+    y = y.at[..., m - sd : m - d].add(kg[0, 0] * pl_ + kg[0, 1] * vl_)
+    y = y.at[..., m - d :].add(kg[1, 0] * pl_ + kg[1, 1] * vl_)
+    return y.reshape(x.shape)
 
 
 @struct.dataclass

@@ -6,14 +6,18 @@ per particle without touching HBM between stages:
 
   1. draw eps ~ N(0, I) in-kernel (hardware PRNG bits -> Box-Muller),
   2. samples  x = mu_p + eps @ L^{-T}^T           (MXU),
-  3. quadratic cost x^T A x - 2 b_p.x + c_p        (MXU + VPU),
+  3. quadratic (GP + anchors) cost via the factor-graph STENCIL on lane
+     rolls (ops/pallas/stencil.py) — VPU-only, exact; the former
+     ``x^T A x - 2 b x`` MXU form is bf16-degraded on hardware at small
+     sigmas (see gp/dof_factored.py),
   4. positions via constant selection matrices     (MXU; avoids strided
      lane-slicing, which Mosaic lowers poorly),
   5. rasterized collision field on snapped cells   (VPU, grid-parity rule),
-  6. importance term  tau * x . (Sigma^{-1} mu_p)  (VPU; prec_u precomputed),
+  6. importance term  tau * x . (Sigma^{-1} mu_p)  (VPU; prec_u from the
+     exact stencil matvec outside the kernel),
   7. softmax over samples + weighted mean update   (VPU + MXU).
 
-Grid = particles; per-program VMEM ~1 MB (W, A, the [S, M] sample block).
+Grid = particles; per-program VMEM ~1 MB (W, the [S, M] sample block).
 The sample stream differs from `jax.random` (hardware PRNG + Box-Muller), so
 this is an opt-in execution path: same algorithm, same distributions, a
 different (still counter-based, reproducible-per-seed) stream. Moment tests
@@ -67,8 +71,8 @@ def _kernel(
     mean_ref,  # [1, 1, M] (3D so Mosaic's last-two-dims tiling rule holds)
     prec_u_ref,  # [1, 1, M]
     w_ref,  # [M, M] = L^{-1} (samples = eps @ W)
-    a_ref,  # [M, M] quadratic cost matrix
-    b_ref,  # [1, 1, M] per-particle linear term
+    anchors_ref,  # [1, 1, M] start/goal anchor values on their lanes
+    masks_ref,  # [3, M] stencil lane masks
     sel_x_ref,  # [M, T] selection matrix extracting x coords
     sel_y_ref,  # [M, T]
     rects_ref,  # [R, 4] int32 cell bounds
@@ -78,6 +82,8 @@ def _kernel(
     costs_ref,  # out [1, 1, S]
     *,
     num_samples,
+    n_dof,
+    quad_stencil,
     n_rects,
     n_circles,
     cell_size,
@@ -87,11 +93,12 @@ def _kernel(
     temperature,
     step_size,
 ):
+    from stoch_gpmp_tpu.ops.pallas.stencil import flat_quad_cost
+
     s = num_samples
     m = mean_ref.shape[-1]
     mean = mean_ref[0]  # [1, M]
     prec_u = prec_u_ref[0]
-    b_row = b_ref[0]
 
     # --- 1. in-kernel N(0,1) via hardware PRNG + Box-Muller ---------------
     pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
@@ -100,11 +107,8 @@ def _kernel(
     # --- 2. samples ---------------------------------------------------------
     x = mean + jnp.dot(eps, w_ref[:], preferred_element_type=jnp.float32)
 
-    # --- 3. quadratic cost ---------------------------------------------------
-    xa = jnp.dot(x, a_ref[:], preferred_element_type=jnp.float32)
-    quad = jnp.sum(xa * x, axis=1, keepdims=True)  # [S, 1]
-    lin = jnp.sum(x * b_row, axis=1, keepdims=True)
-    cost = quad - 2.0 * lin  # per-particle constant c_p cancels in softmax
+    # --- 3. quadratic cost: factor-graph stencil (exact; no [M, M] matmul) ---
+    cost = flat_quad_cost(x, anchors_ref[0], masks_ref, quad_stencil, n_dof)
 
     # --- 4./5. collision field ----------------------------------------------
     px = jnp.dot(x, sel_x_ref[:], preferred_element_type=jnp.float32)  # [S, T]
@@ -148,9 +152,9 @@ def _kernel(
 def make_fused_planar_step(
     *,
     weight_t: jnp.ndarray,  # [M, M]
-    a_dense: jnp.ndarray,  # [M, M]
-    b: jnp.ndarray,  # [P, M] per-particle linear cost term
-    precision_dense: jnp.ndarray,  # [M, M]
+    dof_prior,  # DofFactoredPrior (exact stencil Sigma^{-1} matvec)
+    dof_quad,  # DofQuadraticCost (stencil params + start/goal anchors)
+    num_particles: int,
     rect_bounds: jnp.ndarray,  # [R, 4] int32
     circles: jnp.ndarray,  # [C, 3]
     cell_size: float,
@@ -165,8 +169,16 @@ def make_fused_planar_step(
 ):
     """Build ``step(means [P, T, d], seeds [P, 2] int32) -> (new_means, costs)``
     executing the whole iteration as one Pallas call (grid over particles)."""
+    from stoch_gpmp_tpu.ops.pallas.stencil import (
+        anchor_rows_and_masks,
+        quad_stencil_consts,
+    )
+
     m = traj_len * state_dim
-    p = b.shape[0]
+    p = num_particles
+    n_dof = state_dim // 2
+    quad_stencil = quad_stencil_consts(dof_quad)
+    anchors, masks = anchor_rows_and_masks(dof_quad, p, traj_len, n_dof)
     # selection matrices: column t of sel_x is one-hot at flat index t*d + 0
     sel_x = np.zeros((m, traj_len), dtype=np.float32)
     sel_y = np.zeros((m, traj_len), dtype=np.float32)
@@ -184,6 +196,8 @@ def make_fused_planar_step(
     kernel = functools.partial(
         _kernel,
         num_samples=num_samples,
+        n_dof=n_dof,
+        quad_stencil=quad_stencil,
         n_rects=n_rects,
         n_circles=n_circles,
         cell_size=cell_size,
@@ -205,8 +219,8 @@ def make_fused_planar_step(
             pl.BlockSpec((1, 1, m), per_p3, memory_space=pltpu.VMEM),  # mean
             pl.BlockSpec((1, 1, m), per_p3, memory_space=pltpu.VMEM),  # prec_u
             pl.BlockSpec((m, m), const, memory_space=pltpu.VMEM),  # W
-            pl.BlockSpec((m, m), const, memory_space=pltpu.VMEM),  # A
-            pl.BlockSpec((1, 1, m), per_p3, memory_space=pltpu.VMEM),  # b
+            pl.BlockSpec((1, 1, m), per_p3, memory_space=pltpu.VMEM),  # anchors
+            pl.BlockSpec((3, m), const, memory_space=pltpu.VMEM),  # masks
             pl.BlockSpec((m, traj_len), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((m, traj_len), const, memory_space=pltpu.VMEM),
             pl.BlockSpec(tuple(rects_in.shape), const, memory_space=pltpu.VMEM),
@@ -228,18 +242,21 @@ def make_fused_planar_step(
     sel_y = jnp.asarray(sel_y)
     tmask_j = jnp.asarray(tmask)
 
-    b3 = b.reshape(p, 1, m)
+    anchors3 = anchors.reshape(p, 1, m)
 
     def step(means: jnp.ndarray, seeds: jnp.ndarray):
         means_flat = means.reshape(p, m)
-        prec_u = means_flat @ precision_dense  # tiny [P, M] matmul (XLA)
+        # exact O(T) stencil matvec — NOT the [M, M] precision matmul
+        prec_u = dof_prior.matvec_flat(
+            means_flat.reshape(p, traj_len, state_dim)
+        ).reshape(p, m)
         new_flat, costs = call(
             seeds.reshape(p, 1, 2),
             means_flat.reshape(p, 1, m),
             prec_u.reshape(p, 1, m),
             weight_t,
-            a_dense,
-            b3,
+            anchors3,
+            masks,
             sel_x,
             sel_y,
             rects_in,
@@ -287,8 +304,8 @@ def _kernel_batched(
     means_ref,  # [PB, M] (particle block)
     prec_u_ref,  # [PB, M]
     w_ref,  # [M, M]
-    a_ref,  # [M, M]
-    b_ref,  # [P, M]
+    anchors_ref,  # [PB, M] start/goal anchor values on their lanes
+    masks_ref,  # [3, M] stencil lane masks
     sel_x_ref,  # [M, T]
     sel_y_ref,  # [M, T]
     rects_ref,
@@ -299,6 +316,8 @@ def _kernel_batched(
     *,
     num_particles,
     num_samples,
+    n_dof,
+    quad_stencil,
     n_rects,
     n_circles,
     cell_size,
@@ -308,6 +327,8 @@ def _kernel_batched(
     temperature,
     step_size,
 ):
+    from stoch_gpmp_tpu.ops.pallas.stencil import flat_quad_cost
+
     p, s = num_particles, num_samples
     n = p * s
     m = means_ref.shape[-1]
@@ -315,15 +336,14 @@ def _kernel_batched(
     pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
     eps = _box_muller(n, m)
 
-    # per-row particle replication of means/b/prec_u via static row blocks
+    # per-row particle replication of means/anchors/prec_u via static blocks
     corr = jnp.dot(eps, w_ref[:], preferred_element_type=jnp.float32)  # [N, M]
     mean_rows = jnp.repeat(means_ref[:], s, axis=0)
     x = mean_rows + corr
 
-    xa = jnp.dot(x, a_ref[:], preferred_element_type=jnp.float32)
-    cost = jnp.sum(xa * x, axis=1, keepdims=True)
-    b_rows = jnp.repeat(b_ref[:], s, axis=0)
-    cost = cost - 2.0 * jnp.sum(x * b_rows, axis=1, keepdims=True)
+    # quadratic: factor-graph stencil (exact; no [M, M] cost matmul)
+    anch_rows = jnp.repeat(anchors_ref[:], s, axis=0)
+    cost = flat_quad_cost(x, anch_rows, masks_ref, quad_stencil, n_dof)
 
     px = jnp.dot(x, sel_x_ref[:], preferred_element_type=jnp.float32)
     py = jnp.dot(x, sel_y_ref[:], preferred_element_type=jnp.float32)
@@ -376,9 +396,9 @@ def _kernel_batched(
 def make_fused_planar_step_batched(
     *,
     weight_t,
-    a_dense,
-    b,
-    precision_dense,
+    dof_prior,
+    dof_quad,
+    num_particles,
     rect_bounds,
     circles,
     cell_size,
@@ -397,8 +417,16 @@ def make_fused_planar_step_batched(
     everything; for large particle counts ``particles_per_block`` bounds the
     per-program VMEM ([PB*S, M] sample block) and the kernel grids over
     blocks."""
+    from stoch_gpmp_tpu.ops.pallas.stencil import (
+        anchor_rows_and_masks,
+        quad_stencil_consts,
+    )
+
     m = traj_len * state_dim
-    p = b.shape[0]
+    p = num_particles
+    n_dof = state_dim // 2
+    quad_stencil = quad_stencil_consts(dof_quad)
+    anchors, masks = anchor_rows_and_masks(dof_quad, p, traj_len, n_dof)
     if particles_per_block is None:
         # ~6-8 [PB*S, M] f32 buffers live at once (eps, x, xa, px/py, occ, ...);
         # keep ONE such buffer around ~1 MB so the total stays under the
@@ -430,6 +458,7 @@ def make_fused_planar_step_batched(
     kernel = functools.partial(
         _kernel_batched,
         num_particles=pb, num_samples=num_samples,
+        n_dof=n_dof, quad_stencil=quad_stencil,
         n_rects=n_rects, n_circles=n_circles,
         cell_size=cell_size, nx=nx, ny=ny,
         k_coll=k_coll, temperature=temperature, step_size=step_size,
@@ -446,8 +475,8 @@ def make_fused_planar_step_batched(
             pl.BlockSpec((pb, m), per_b, memory_space=vm),  # means
             pl.BlockSpec((pb, m), per_b, memory_space=vm),  # prec_u
             pl.BlockSpec((m, m), const, memory_space=vm),  # W
-            pl.BlockSpec((m, m), const, memory_space=vm),  # A
-            pl.BlockSpec((pb, m), per_b, memory_space=vm),  # b
+            pl.BlockSpec((pb, m), per_b, memory_space=vm),  # anchors
+            pl.BlockSpec((3, m), const, memory_space=vm),  # masks
             pl.BlockSpec((m, traj_len), const, memory_space=vm),
             pl.BlockSpec((m, traj_len), const, memory_space=vm),
             pl.BlockSpec(tuple(rects_in.shape), const, memory_space=vm),
@@ -473,10 +502,13 @@ def make_fused_planar_step_batched(
         """``seeds``: [n_blocks, 2] int32 (one hardware-PRNG seed pair per
         particle block)."""
         means_flat = means.reshape(p, m)
-        prec_u = means_flat @ precision_dense
+        # exact O(T) stencil matvec — NOT the [M, M] precision matmul
+        prec_u = dof_prior.matvec_flat(
+            means_flat.reshape(p, traj_len, state_dim)
+        ).reshape(p, m)
         new_flat, costs = call(
             seeds.reshape(n_blocks, 1, 2), means_flat, prec_u, weight_t,
-            a_dense, b, sel_x, sel_y, rects_in, circles_in, tmask_j,
+            anchors, masks, sel_x, sel_y, rects_in, circles_in, tmask_j,
         )
         return new_flat.reshape(p, traj_len, state_dim), costs
 

@@ -25,7 +25,7 @@ elementwise VPU math, so the entire stack fuses:
   7. importance term  tau * x . (Sigma^{-1} mu_p)                     (VPU),
   8. segmented softmax over samples + weighted mean update      (VPU + MXU).
 
-Grid = particle blocks (auto-sized to VMEM). Constants (W, A, sel) are
+Grid = particle blocks (auto-sized to VMEM). Constants (W, sel, masks) are
 shared across programs. The RNG stream is the hardware PRNG (same seeds ->
 same trajectories; differs from ``jax.random`` like the planar kernel —
 opt-in execution path, same algorithm and distributions).
@@ -80,13 +80,10 @@ def _kernel(
     p, s = num_particles, num_samples
     n = p * s
     m = means_ref.shape[-1]
-    q_i2, k_s2, k_g2, dt = quad_stencil
-    q11, q12, q22 = float(q_i2[0, 0]), float(q_i2[0, 1]), float(q_i2[1, 1])
-    ks11, ks12, ks22 = float(k_s2[0, 0]), float(k_s2[0, 1]), float(k_s2[1, 1])
-    kg11, kg12, kg22 = float(k_g2[0, 0]), float(k_g2[0, 1]), float(k_g2[1, 1])
 
     # --- 1. in-kernel N(0,1) (both Box-Muller outputs; see fused_step) -------
     from stoch_gpmp_tpu.ops.pallas.fused_step import _box_muller
+    from stoch_gpmp_tpu.ops.pallas.stencil import flat_quad_cost
 
     pltpu.prng_seed(seed_ref[0, 0, 0], seed_ref[0, 0, 1])
     eps = _box_muller(n, m)
@@ -96,31 +93,8 @@ def _kernel(
     x = mean_rows + jnp.dot(eps, w_ref[:], preferred_element_type=jnp.float32)
 
     # --- 3. quadratic (GP + start + goal-prior) cost, factor-graph stencil -----
-    # t-major row layout: lane t*2d+j = pos_j(t), lane t*2d+d+j = vel_j(t).
-    # A left-shift by k lanes is a circular roll by m-k; wrapped lanes land
-    # outside the pos-lane masks. At a position lane l of step t:
-    #   xd[l] = vel(t), x1[l] = pos(t+1), x1d[l] = vel(t+1).
-    sd = 2 * n_dof
-    xd = pltpu.roll(x, shift=m - n_dof, axis=1)
-    x1 = pltpu.roll(x, shift=m - sd, axis=1)
-    x1d = pltpu.roll(x, shift=m - sd - n_dof, axis=1)
-    rp = x + dt * xd - x1
-    rv = xd - x1d
-    gp_m = masks_ref[0:1, :]
-    cost = jnp.sum(
-        (q11 * rp * rp + 2.0 * q12 * rp * rv + q22 * rv * rv) * gp_m,
-        axis=1, keepdims=True,
-    )  # [N, 1]
     anch = jnp.repeat(anchors_ref[:], s, axis=0)
-    diff = x - anch  # anchor residuals on their lanes (junk elsewhere: masked)
-    diffd = pltpu.roll(diff, shift=m - n_dof, axis=1)  # vel residual at pos lane
-    es = (
-        ks11 * diff * diff + 2.0 * ks12 * diff * diffd + ks22 * diffd * diffd
-    ) * masks_ref[1:2, :]
-    eg = (
-        kg11 * diff * diff + 2.0 * kg12 * diff * diffd + kg22 * diffd * diffd
-    ) * masks_ref[2:3, :]
-    cost = cost + jnp.sum(es + eg, axis=1, keepdims=True)
+    cost = flat_quad_cost(x, anch, masks_ref, quad_stencil, n_dof)
 
     # --- 4. per-dof time planes + FK ------------------------------------------
     qsel = jnp.dot(x, sel_ref[:], preferred_element_type=jnp.float32)
@@ -259,28 +233,13 @@ def make_fused_panda_step(
     sel, tmask = make_traj_selection(n_dof, state_dim, traj_len, tpad)
 
     # stencil constants + anchor-value rows + lane masks (t-major layout)
-    quad_stencil = (
-        np.asarray(dof_quad.q_i2, dtype=np.float64),
-        np.asarray(dof_quad.k_s2, dtype=np.float64),
-        np.asarray(dof_quad.k_g2, dtype=np.float64),
-        float(dof_quad.dt),
+    from stoch_gpmp_tpu.ops.pallas.stencil import (
+        anchor_rows_and_masks,
+        quad_stencil_consts,
     )
-    s_pd = np.asarray(dof_quad.s_pd, dtype=np.float32)  # [d, 2]
-    g_pd = np.asarray(dof_quad.g_pd, dtype=np.float32)  # [G, d, 2]
-    anchors_np = np.zeros((p, m), dtype=np.float32)
-    anchors_np[:, :n_dof] = s_pd[:, 0]
-    anchors_np[:, n_dof:state_dim] = s_pd[:, 1]
-    gp_rep = np.repeat(g_pd, p // dof_quad.num_goals, axis=0)  # [P, d, 2]
-    anchors_np[:, m - state_dim : m - n_dof] = gp_rep[..., 0]
-    anchors_np[:, m - n_dof :] = gp_rep[..., 1]
-    anchors = jnp.asarray(anchors_np)
-    lanes = np.arange(m)
-    is_pos = (lanes % state_dim) < n_dof
-    masks_np = np.zeros((3, m), dtype=np.float32)
-    masks_np[0] = (is_pos & (lanes < m - state_dim)).astype(np.float32)
-    masks_np[1] = (is_pos & (lanes < state_dim)).astype(np.float32)
-    masks_np[2] = (is_pos & (lanes >= m - state_dim)).astype(np.float32)
-    masks = jnp.asarray(masks_np)
+
+    quad_stencil = quad_stencil_consts(dof_quad)
+    anchors, masks = anchor_rows_and_masks(dof_quad, p, traj_len, n_dof)
 
     if particles_per_block is None:
         # the [PB*S, M] sample-stage buffers dominate; keep one around ~1 MB

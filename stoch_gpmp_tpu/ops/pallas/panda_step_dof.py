@@ -97,7 +97,7 @@ def _kernel(
         eps = _box_muller(n, t2)
         mu_rows = jnp.repeat(means_ref[d], s, axis=0)  # [N, 2T]
         x = mu_rows + jnp.dot(eps, w_ref[:], preferred_element_type=jnp.float32)
-        xs.append((x, mu_rows))
+        xs.append(x)  # mu_rows recomputed at update time (halves live VMEM)
         # GP factor energy: r_t = phi x_t - x_{t+1} on rolled planes
         p_ = x[:, :t]
         v_ = x[:, t:]
@@ -133,7 +133,7 @@ def _kernel(
         cost = term if cost is None else cost + term
 
     # --- FK + fields on the position planes (exact lane slices) --------------
-    qs = [xs[d][0][:, :t] for d in range(n_dof)]
+    qs = [xs[d][:, :t] for d in range(n_dof)]
     planes = chain.fk_planes_from_scalars(qs)
     pos = [pp for (_, pp) in planes]
     n_links = len(pos)
@@ -169,7 +169,7 @@ def _kernel(
     # (reference cost_functions.py:305; Mosaic has no acos — A&S 4.4.46
     # polynomial, |err| <= 2e-8; see ops/pallas/panda_step.py)
     if w_goal != 0.0:
-        q_last = [xs[d][0][:, t - 1 : t] for d in range(n_dof)]
+        q_last = [xs[d][:, t - 1 : t] for d in range(n_dof)]
         r_ee, p_ee = chain.fk_planes_from_scalars(q_last)[-1]
         sq = None
         for c in range(3):
@@ -214,8 +214,8 @@ def _kernel(
     # variant hits an unsupported vector shape cast.
     seg = jnp.repeat(jnp.eye(p, dtype=jnp.float32), s, axis=0)  # [N, P]
     for d in range(n_dof):
-        x, mu_rows = xs[d]
-        weighted = wts * (x - mu_rows)
+        x = xs[d]
+        weighted = wts * (x - jnp.repeat(means_ref[d], s, axis=0))
         grad = jnp.dot(seg.T, weighted, preferred_element_type=jnp.float32)
         new_means_ref[d] = means_ref[d] + step_size * grad
     costs_ref[:] = cost.reshape(p, s)
@@ -268,9 +268,11 @@ def make_fused_panda_dof_step(
     )
 
     if particles_per_block is None:
-        # per-dof x buffers dominate: D * PB * S * 2T * 4 bytes; keep the
-        # live set around ~8 MB of the ~16 MB VMEM budget
-        budget_rows = max(1, (8 * 1024 * 1024) // (4 * t2 * n_dof * num_samples))
+        # per-dof x buffers dominate: D * PB * S * 2T * 4 bytes. The stencil
+        # temporaries roughly double the live set, and Mosaic's scoped-vmem
+        # stack limit is 16 MB — budget the retained x set to ~4 MB
+        # (measured: 8 MB OOMed the round-3 stencil kernel at 56.9 MB stack)
+        budget_rows = max(1, (4 * 1024 * 1024) // (4 * t2 * n_dof * num_samples))
         candidates = [
             pb for pb in range(1, p + 1)
             if p % pb == 0 and ((pb * num_samples) % 8 == 0 or pb == p)

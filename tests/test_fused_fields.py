@@ -59,15 +59,25 @@ def test_fused_step_block_heuristic():
     logic; the kernel itself is TPU-only)."""
     import jax.numpy as jnp
 
+    from stoch_gpmp_tpu.costs import CostGP, CostGoalPrior
+    from stoch_gpmp_tpu.gp.dof_factored import (
+        DofQuadraticCost,
+        make_dof_factored_prior,
+    )
     from stoch_gpmp_tpu.ops.pallas.fused_step import make_fused_planar_step_batched
 
     m = 256
+    gp = CostGP.create(2, 64, jnp.zeros(4, jnp.float32), 0.02,
+                       {"sigma_start": 1e-3, "sigma_gp": 3.0})
+    dof_prior = make_dof_factored_prior(64, 0.02, 1e-3, 3.0, sigma_goal=1e-3)
     for p, s in ((15, 128), (192, 128), (1536, 32), (8, 64), (24, 128), (7, 16)):
+        goals = jnp.zeros((p if p % 3 else 3, 4), jnp.float32)
+        dq = DofQuadraticCost.from_gp_and_goal_prior(
+            gp, CostGoalPrior.create(2, 64, goals, sigma_goal_prior=20.0), 64
+        )
         step = make_fused_planar_step_batched(
             weight_t=jnp.zeros((m, m), jnp.float32),
-            a_dense=jnp.zeros((m, m), jnp.float32),
-            b=jnp.zeros((p, m), jnp.float32),
-            precision_dense=jnp.zeros((m, m), jnp.float32),
+            dof_prior=dof_prior, dof_quad=dq, num_particles=p,
             rect_bounds=jnp.zeros((1, 4), jnp.int32),
             circles=jnp.zeros((1, 3), jnp.float32),
             cell_size=0.1, nx=200, ny=200, traj_len=64, state_dim=4,

@@ -42,10 +42,9 @@ def test_fused_batched_reaches_goals():
     quad = cost.costs[0]
     field = cost.costs[1].field
     p = state.particle_means.shape[0]
-    b_per_p = jnp.repeat(quad.b, p // quad.num_goals, axis=0)
     step = make_fused_planar_step_batched(
-        weight_t=sampler.weight_t, a_dense=quad.a_dense, b=b_per_p,
-        precision_dense=sampler.precision_dense,
+        weight_t=sampler.weight_t, dof_prior=sampler.dof,
+        dof_quad=quad.dof_form, num_particles=p,
         rect_bounds=field.rect_bounds, circles=field.circles,
         cell_size=field.cell_size, nx=field.nx, ny=field.ny,
         traj_len=64, state_dim=4, num_samples=128,
@@ -67,10 +66,15 @@ def test_fused_sampler_moments():
     sampler, cost, state = _build()
     p = state.particle_means.shape[0]
     m = 256
+    z22 = jnp.zeros((2, 2), jnp.float32)
+    # pure sampler: quadratic stencil zeroed, temperature huge (uniform
+    # weights regardless of field/importance values)
+    dq_zero = cost.costs[0].dof_form.replace(q_i2=z22, k_s2=z22, k_g2=z22)
+    # zero the importance too (tau = 1e30 would overflow a real tau*x.pu)
+    prior_zero = sampler.dof.replace(q_i2=z22, k_s2=z22, k_g2=z22)
     step = make_fused_planar_step(
-        weight_t=sampler.weight_t, a_dense=jnp.zeros((m, m), jnp.float32),
-        b=jnp.zeros((p, m), jnp.float32),
-        precision_dense=jnp.zeros((m, m), jnp.float32),
+        weight_t=sampler.weight_t, dof_prior=prior_zero,
+        dof_quad=dq_zero, num_particles=p,
         rect_bounds=jnp.zeros((0, 4), jnp.int32),
         circles=jnp.zeros((0, 3), jnp.float32),
         cell_size=0.1, nx=200, ny=200, traj_len=64, state_dim=4,
