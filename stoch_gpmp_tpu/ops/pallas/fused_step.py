@@ -6,10 +6,10 @@ per particle without touching HBM between stages:
 
   1. draw eps ~ N(0, I) in-kernel (hardware PRNG bits -> Box-Muller),
   2. samples  x = mu_p + eps @ L^{-T}^T           (MXU),
-  3. quadratic (GP + anchors) cost via the factor-graph STENCIL on lane
-     rolls (ops/pallas/stencil.py) — VPU-only, exact; the former
-     ``x^T A x - 2 b x`` MXU form is bf16-degraded on hardware at small
-     sigmas (see gp/dof_factored.py),
+  3. quadratic (GP + anchors) cost, conditioning-gated (stencil.py):
+     the exact lane-roll STENCIL when weights are extreme enough that bf16
+     MXU passes would corrupt the quadratic, the overlapping MXU matmul at
+     mild (planar) conditioning,
   4. positions via constant selection matrices     (MXU; avoids strided
      lane-slicing, which Mosaic lowers poorly),
   5. rasterized collision field on snapped cells   (VPU, grid-parity rule),
@@ -84,6 +84,7 @@ def _kernel(
     num_samples,
     n_dof,
     quad_stencil,
+    use_stencil,
     n_rects,
     n_circles,
     cell_size,
@@ -107,8 +108,14 @@ def _kernel(
     # --- 2. samples ---------------------------------------------------------
     x = mean + jnp.dot(eps, w_ref[:], preferred_element_type=jnp.float32)
 
-    # --- 3. quadratic cost: factor-graph stencil (exact; no [M, M] matmul) ---
-    cost = flat_quad_cost(x, anchors_ref[0], masks_ref, quad_stencil, n_dof)
+    # --- 3. quadratic cost: conditioning-gated form (stencil.py) -------------
+    if use_stencil:  # exact lane-roll residual form; no [M, M] matmul
+        cost = flat_quad_cost(x, anchors_ref[0], masks_ref, quad_stencil, n_dof)
+    else:  # mild weights: the MXU matmul is accurate AND overlaps the VPU
+        xa = jnp.dot(x, masks_ref[:], preferred_element_type=jnp.float32)
+        quad = jnp.sum(xa * x, axis=1, keepdims=True)
+        lin = jnp.sum(x * anchors_ref[0], axis=1, keepdims=True)
+        cost = quad - 2.0 * lin  # per-particle constant cancels in softmax
 
     # --- 4./5. collision field ----------------------------------------------
     px = jnp.dot(x, sel_x_ref[:], preferred_element_type=jnp.float32)  # [S, T]
@@ -171,6 +178,8 @@ def make_fused_planar_step(
     executing the whole iteration as one Pallas call (grid over particles)."""
     from stoch_gpmp_tpu.ops.pallas.stencil import (
         anchor_rows_and_masks,
+        dense_quad_from_dof,
+        needs_stencil,
         quad_stencil_consts,
     )
 
@@ -178,7 +187,14 @@ def make_fused_planar_step(
     p = num_particles
     n_dof = state_dim // 2
     quad_stencil = quad_stencil_consts(dof_quad)
-    anchors, masks = anchor_rows_and_masks(dof_quad, p, traj_len, n_dof)
+    use_stencil = needs_stencil(dof_quad)
+    if use_stencil:
+        anchors, masks = anchor_rows_and_masks(dof_quad, p, traj_len, n_dof)
+    else:
+        # mild conditioning: matmul quadratic — the anchors slot carries the
+        # per-particle b rows and the masks slot carries A [M, M]
+        masks, b_g = dense_quad_from_dof(dof_quad, traj_len, n_dof)
+        anchors = jnp.repeat(b_g, p // dof_quad.num_goals, axis=0)
     # selection matrices: column t of sel_x is one-hot at flat index t*d + 0
     sel_x = np.zeros((m, traj_len), dtype=np.float32)
     sel_y = np.zeros((m, traj_len), dtype=np.float32)
@@ -198,6 +214,7 @@ def make_fused_planar_step(
         num_samples=num_samples,
         n_dof=n_dof,
         quad_stencil=quad_stencil,
+        use_stencil=use_stencil,
         n_rects=n_rects,
         n_circles=n_circles,
         cell_size=cell_size,
@@ -219,8 +236,8 @@ def make_fused_planar_step(
             pl.BlockSpec((1, 1, m), per_p3, memory_space=pltpu.VMEM),  # mean
             pl.BlockSpec((1, 1, m), per_p3, memory_space=pltpu.VMEM),  # prec_u
             pl.BlockSpec((m, m), const, memory_space=pltpu.VMEM),  # W
-            pl.BlockSpec((1, 1, m), per_p3, memory_space=pltpu.VMEM),  # anchors
-            pl.BlockSpec((3, m), const, memory_space=pltpu.VMEM),  # masks
+            pl.BlockSpec((1, 1, m), per_p3, memory_space=pltpu.VMEM),  # anchors/b
+            pl.BlockSpec(tuple(masks.shape), const, memory_space=pltpu.VMEM),  # masks/A
             pl.BlockSpec((m, traj_len), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((m, traj_len), const, memory_space=pltpu.VMEM),
             pl.BlockSpec(tuple(rects_in.shape), const, memory_space=pltpu.VMEM),
@@ -318,6 +335,7 @@ def _kernel_batched(
     num_samples,
     n_dof,
     quad_stencil,
+    use_stencil,
     n_rects,
     n_circles,
     cell_size,
@@ -341,9 +359,15 @@ def _kernel_batched(
     mean_rows = jnp.repeat(means_ref[:], s, axis=0)
     x = mean_rows + corr
 
-    # quadratic: factor-graph stencil (exact; no [M, M] cost matmul)
-    anch_rows = jnp.repeat(anchors_ref[:], s, axis=0)
-    cost = flat_quad_cost(x, anch_rows, masks_ref, quad_stencil, n_dof)
+    # quadratic: conditioning-gated form (stencil.py)
+    if use_stencil:  # exact lane-roll residual form; no [M, M] cost matmul
+        anch_rows = jnp.repeat(anchors_ref[:], s, axis=0)
+        cost = flat_quad_cost(x, anch_rows, masks_ref, quad_stencil, n_dof)
+    else:  # mild weights: the MXU matmul is accurate AND overlaps the VPU
+        xa = jnp.dot(x, masks_ref[:], preferred_element_type=jnp.float32)
+        cost = jnp.sum(xa * x, axis=1, keepdims=True)
+        b_rows = jnp.repeat(anchors_ref[:], s, axis=0)
+        cost = cost - 2.0 * jnp.sum(x * b_rows, axis=1, keepdims=True)
 
     px = jnp.dot(x, sel_x_ref[:], preferred_element_type=jnp.float32)
     py = jnp.dot(x, sel_y_ref[:], preferred_element_type=jnp.float32)
@@ -419,6 +443,8 @@ def make_fused_planar_step_batched(
     blocks."""
     from stoch_gpmp_tpu.ops.pallas.stencil import (
         anchor_rows_and_masks,
+        dense_quad_from_dof,
+        needs_stencil,
         quad_stencil_consts,
     )
 
@@ -426,7 +452,14 @@ def make_fused_planar_step_batched(
     p = num_particles
     n_dof = state_dim // 2
     quad_stencil = quad_stencil_consts(dof_quad)
-    anchors, masks = anchor_rows_and_masks(dof_quad, p, traj_len, n_dof)
+    use_stencil = needs_stencil(dof_quad)
+    if use_stencil:
+        anchors, masks = anchor_rows_and_masks(dof_quad, p, traj_len, n_dof)
+    else:
+        # mild conditioning: matmul quadratic — the anchors slot carries the
+        # per-particle b rows and the masks slot carries A [M, M]
+        masks, b_g = dense_quad_from_dof(dof_quad, traj_len, n_dof)
+        anchors = jnp.repeat(b_g, p // dof_quad.num_goals, axis=0)
     if particles_per_block is None:
         # ~6-8 [PB*S, M] f32 buffers live at once (eps, x, xa, px/py, occ, ...);
         # keep ONE such buffer around ~1 MB so the total stays under the
@@ -458,7 +491,7 @@ def make_fused_planar_step_batched(
     kernel = functools.partial(
         _kernel_batched,
         num_particles=pb, num_samples=num_samples,
-        n_dof=n_dof, quad_stencil=quad_stencil,
+        n_dof=n_dof, quad_stencil=quad_stencil, use_stencil=use_stencil,
         n_rects=n_rects, n_circles=n_circles,
         cell_size=cell_size, nx=nx, ny=ny,
         k_coll=k_coll, temperature=temperature, step_size=step_size,
@@ -475,8 +508,8 @@ def make_fused_planar_step_batched(
             pl.BlockSpec((pb, m), per_b, memory_space=vm),  # means
             pl.BlockSpec((pb, m), per_b, memory_space=vm),  # prec_u
             pl.BlockSpec((m, m), const, memory_space=vm),  # W
-            pl.BlockSpec((pb, m), per_b, memory_space=vm),  # anchors
-            pl.BlockSpec((3, m), const, memory_space=vm),  # masks
+            pl.BlockSpec((pb, m), per_b, memory_space=vm),  # anchors/b
+            pl.BlockSpec(tuple(masks.shape), const, memory_space=vm),  # masks/A
             pl.BlockSpec((m, traj_len), const, memory_space=vm),
             pl.BlockSpec((m, traj_len), const, memory_space=vm),
             pl.BlockSpec(tuple(rects_in.shape), const, memory_space=vm),

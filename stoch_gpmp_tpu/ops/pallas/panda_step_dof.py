@@ -268,11 +268,12 @@ def make_fused_panda_dof_step(
     )
 
     if particles_per_block is None:
-        # per-dof x buffers dominate: D * PB * S * 2T * 4 bytes. The stencil
-        # temporaries roughly double the live set, and Mosaic's scoped-vmem
-        # stack limit is 16 MB — budget the retained x set to ~4 MB
-        # (measured: 8 MB OOMed the round-3 stencil kernel at 56.9 MB stack)
-        budget_rows = max(1, (4 * 1024 * 1024) // (4 * t2 * n_dof * num_samples))
+        # per-dof x buffers dominate: D * PB * S * 2T * 4 bytes. Mosaic's
+        # scoped-vmem stack limit is 16 MB and it does NOT reuse buffers
+        # across the unrolled dof loop: measured stacks were 56.9 MB at an
+        # 8 MB x-budget and 25.7 MB at 4 MB — 2 MB (pb=32 at config-5
+        # scale) is the compiling setting
+        budget_rows = max(1, (2 * 1024 * 1024) // (4 * t2 * n_dof * num_samples))
         candidates = [
             pb for pb in range(1, p + 1)
             if p % pb == 0 and ((pb * num_samples) % 8 == 0 or pb == p)

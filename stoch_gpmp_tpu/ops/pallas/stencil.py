@@ -1,15 +1,21 @@
 """Shared in-kernel factor-graph (stencil) quadratic for the fused kernels.
 
-The GP + start/goal-anchor quadratic must NEVER be evaluated as
-``x A x - 2 b x + c`` on the MXU: at the reference's sigmas the precision
-entries reach ~2e11 and the default bf16 passes corrupt the massively-
-cancelling quadratic (measured on v5e; docs/PERFORMANCE.md "bf16-matmul
-precision trap"). Inside a Mosaic kernel the residual form runs on lane
-rolls: for the flat t-major row layout (lane ``t*2d + j`` = pos_j(t), lane
-``t*2d + d + j`` = vel_j(t)), left-shifts by ``d``/``2d``/``3d`` lanes align
-``vel(t)``, ``pos(t+1)``, ``vel(t+1)`` with ``pos(t)``, and masked local
-quadratics give the exact energy — O(M) VPU work, no ``[M, M]`` constant in
-VMEM.
+At the reference's Panda sigmas the GP precision entries reach ~2e11, and
+evaluating ``x A x - 2 b x + c`` through the MXU's default bf16 passes
+corrupts the massively-cancelling quadratic beyond use (measured on v5e;
+docs/PERFORMANCE.md "bf16-matmul precision trap"). Inside a Mosaic kernel
+the residual form runs on lane rolls: for the flat t-major row layout
+(lane ``t*2d + j`` = pos_j(t), lane ``t*2d + d + j`` = vel_j(t)),
+left-shifts by ``d``/``2d``/``3d`` lanes align ``vel(t)``, ``pos(t+1)``,
+``vel(t+1)`` with ``pos(t)``, and masked local quadratics give the exact
+energy — O(M) VPU work, no ``[M, M]`` constant in VMEM.
+
+The stencil is not free: it runs on the VPU, which the fused kernels'
+field stages already saturate, while the old matmul overlapped on the
+otherwise-idle MXU (measured: forcing the stencil on the planar kernel
+cost 15-18%). The factories therefore gate by CONDITIONING
+(:func:`needs_stencil`): stencil where bf16 error would swamp the answer
+(Panda, ~2e11 weights), matmul where weights are mild (planar, <= ~1e6).
 
 Used by ``ops/pallas/fused_step.py`` (planar, d=2) and
 ``ops/pallas/panda_step.py`` (Panda, d=7); the dof-factored kernel
@@ -90,3 +96,77 @@ def flat_quad_cost(x, anch_rows, masks_ref, quad_stencil, n_dof: int):
         kg11 * diff * diff + 2.0 * kg12 * diff * diffd + kg22 * diffd * diffd
     ) * masks_ref[2:3, :]
     return cost + jnp.sum(es + eg, axis=1, keepdims=True)
+
+
+STENCIL_CONDITION_THRESHOLD = 1e9
+"""Weight magnitude above which the matmul quadratic is numerically unsafe.
+
+bf16 MXU passes carry ~4e-3 relative error on the matmul's intermediates;
+what matters is that error against the PER-SAMPLE quadratic spread the
+softmax discriminates on. Two measured anchors on v5e:
+
+- planar parity (max weight 1.5e8, sampling sigmas ~3.0 -> huge per-sample
+  quad spreads): the matmul form passes moment/descent/goal-reaching tests
+  on hardware for two rounds, and forcing the stencil cost 15-18%
+  throughput (the stencil adds VPU work to the VPU-bound field stages
+  while the matmul overlapped on the idle MXU);
+- Panda (max weight ~2e11, sampling sigmas 1e-3..0.1 -> small spreads):
+  matmul costs diverge from a float64 oracle by ~10x the answer
+  (docs/PERFORMANCE.md "bf16-matmul precision trap").
+
+The 1e9 threshold separates the two regimes; the factories pick per
+problem: stencil iff any weight entry exceeds this."""
+
+
+def needs_stencil(dof_quad) -> bool:
+    return max(
+        float(np.abs(np.asarray(dof_quad.q_i2)).max()),
+        float(np.abs(np.asarray(dof_quad.k_s2)).max()),
+        float(np.abs(np.asarray(dof_quad.k_g2)).max()),
+    ) > STENCIL_CONDITION_THRESHOLD
+
+
+def dense_quad_from_dof(dof_quad, traj_len: int, n_dof: int):
+    """Rebuild the t-major dense ``(A [M, M], b [G, M])`` of the quadratic
+    from the per-dof stencil parameters (host numpy; used by the planar
+    kernels' matmul path). Verified equal to
+    ``QuadraticCost.from_gp_and_goal_prior`` in tests."""
+    d = n_dof
+    sd = 2 * d
+    m = traj_len * sd
+    eye = np.eye(d)
+    q2 = np.asarray(dof_quad.q_i2, dtype=np.float64)
+    ks2 = np.asarray(dof_quad.k_s2, dtype=np.float64)
+    kg2 = np.asarray(dof_quad.k_g2, dtype=np.float64)
+    dt = float(dof_quad.dt)
+    q_full = np.kron(q2, eye)
+    ks_full = np.kron(ks2, eye)
+    kg_full = np.kron(kg2, eye)
+    phi = np.kron(np.asarray([[1.0, dt], [0.0, 1.0]]), eye)
+    pqp = phi.T @ q_full @ phi
+    a = np.zeros((m, m))
+    for t in range(traj_len):
+        blk = slice(t * sd, (t + 1) * sd)
+        if t == 0:
+            a[blk, blk] = ks_full + pqp
+        elif t == traj_len - 1:
+            a[blk, blk] = q_full + kg_full
+        else:
+            a[blk, blk] = q_full + pqp
+        if t < traj_len - 1:
+            nxt = slice((t + 1) * sd, (t + 2) * sd)
+            low = -(q_full @ phi)
+            a[nxt, blk] = low
+            a[blk, nxt] = low.T
+    s_pd = np.asarray(dof_quad.s_pd, dtype=np.float64)  # [d, 2]
+    g_pd = np.asarray(dof_quad.g_pd, dtype=np.float64)  # [G, d, 2]
+    g = g_pd.shape[0]
+    b = np.zeros((g, m))
+    s_vec = np.concatenate([s_pd[:, 0], s_pd[:, 1]])
+    b[:, :sd] = ks_full @ s_vec
+    g_vecs = np.concatenate([g_pd[..., 0], g_pd[..., 1]], axis=-1)  # [G, 2d]
+    b[:, m - sd :] += g_vecs @ kg_full.T
+    return (
+        jnp.asarray(a.astype(np.float32)),
+        jnp.asarray(b.astype(np.float32)),
+    )

@@ -111,3 +111,35 @@ def test_primitive_field_approximates_grid():
     b = np.asarray(grid.compute_cost(pts)) > 0
     # allow a small disagreement rate from cell quantization at boundaries
     assert (a != b).mean() < 0.05
+
+
+def test_dense_quad_from_dof_matches_quadratic_cost():
+    """The planar fused kernels' matmul path rebuilds (A, b) from the dof
+    stencil params (ops/pallas/stencil.py dense_quad_from_dof); must equal
+    QuadraticCost's own assembly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stoch_gpmp_tpu.costs import CostGP, CostGoalPrior
+    from stoch_gpmp_tpu.costs.quadratic import QuadraticCost
+    from stoch_gpmp_tpu.ops.pallas.stencil import dense_quad_from_dof
+
+    t, n_dof = 11, 3
+    start = jnp.arange(2 * n_dof, dtype=jnp.float64) * 0.1
+    goals = jnp.asarray(
+        np.random.default_rng(7).normal(size=(2, 2 * n_dof)), jnp.float64
+    )
+    gp = CostGP.create(n_dof, t, start, 0.05,
+                       {"sigma_start": 1e-3, "sigma_gp": 0.1},
+                       dtype=jnp.float64)
+    goal_prior = CostGoalPrior.create(n_dof, t, goals, sigma_goal_prior=20.0,
+                                      dtype=jnp.float64)
+    quad = QuadraticCost.from_gp_and_goal_prior(gp, goal_prior, t)
+    a, b = dense_quad_from_dof(quad.dof_form, t, n_dof)
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(quad.a_dense, dtype=np.float32), rtol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(b), np.asarray(quad.b, dtype=np.float32),
+        rtol=2e-6, atol=1e-8
+    )
