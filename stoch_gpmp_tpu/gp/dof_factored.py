@@ -459,6 +459,54 @@ class DofQuadraticCost:
         ).reshape(b)
         return e
 
+    def grad_dof_planes(self, x_planes: jnp.ndarray) -> jnp.ndarray:
+        """``b - A x`` per dof on ``[d, B, 2T]`` planes (goal-major batch) —
+        half the negative cost gradient, in factor-graph residual form.
+
+        Each factor's contribution is ``J^T W r`` with the (small) residual
+        ``r`` formed BEFORE the ~1/sigma^2-scale weight touches it: exact in
+        f32, no MXU. The algebraically-equal dense form
+        ``b_planes - x @ a_dof`` cancels two ~|A|*|x| quantities and is
+        bf16-corrupted on TPU (the round-3 stencil lesson; measured as GN
+        divergence, 18 -> 5e9 over 5 iterations at the planar sigmas)."""
+        d, bsz, t2 = x_planes.shape
+        t = self.traj_len
+        p = x_planes[..., :t]
+        v = x_planes[..., t:]
+        q11, q12 = self.q_i2[0, 0], self.q_i2[0, 1]
+        q21, q22 = self.q_i2[1, 0], self.q_i2[1, 1]
+        rp = p[..., :-1] + self.dt * v[..., :-1] - p[..., 1:]
+        rv = v[..., :-1] - v[..., 1:]
+        a = q11 * rp + q12 * rv  # (Q^{-1} r)_p
+        b = q21 * rp + q22 * rv  # (Q^{-1} r)_v
+        pad_lo = [(0, 0)] * (p.ndim - 1)
+        yp = jnp.pad(a, pad_lo + [(0, 1)]) - jnp.pad(a, pad_lo + [(1, 0)])
+        bv = self.dt * a + b  # (phi^T Q^{-1} r)_v
+        yv = jnp.pad(bv, pad_lo + [(0, 1)]) - jnp.pad(b, pad_lo + [(1, 0)])
+        # anchors act on RESIDUALS (x - s, x - g): K_s s lands in b, K_s x_0
+        # in A x — forming them separately is the cancellation this avoids.
+        ks, kg = self.k_s2, self.k_g2
+        r0p = p[..., 0] - self.s_pd[:, None, 0]
+        r0v = v[..., 0] - self.s_pd[:, None, 1]
+        yp = yp.at[..., 0].add(ks[0, 0] * r0p + ks[0, 1] * r0v)
+        yv = yv.at[..., 0].add(ks[1, 0] * r0p + ks[1, 1] * r0v)
+        ppg = bsz // self.num_goals
+        rgp = (
+            p[..., -1].reshape(d, self.num_goals, ppg)
+            - self.g_pd[..., 0].T[:, :, None]
+        )
+        rgv = (
+            v[..., -1].reshape(d, self.num_goals, ppg)
+            - self.g_pd[..., 1].T[:, :, None]
+        )
+        yp = yp.at[..., -1].add(
+            (kg[0, 0] * rgp + kg[0, 1] * rgv).reshape(d, bsz)
+        )
+        yv = yv.at[..., -1].add(
+            (kg[1, 0] * rgp + kg[1, 1] * rgv).reshape(d, bsz)
+        )
+        return -jnp.concatenate([yp, yv], axis=-1)
+
     def eval_dof_planes_dense(self, x_planes: jnp.ndarray) -> jnp.ndarray:
         """The ``x A x - 2 b x + c`` matmul form — algebraically identical to
         the stencil eval, kept for A/B tests. On TPU this form is NUMERICALLY

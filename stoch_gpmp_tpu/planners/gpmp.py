@@ -61,6 +61,7 @@ class WoodburyGN:
     h0i: jnp.ndarray  # [2T, 2T] per-dof (A_dof + delta I)^{-1}, symmetric
     a_dof: jnp.ndarray  # [2T, 2T]
     b_planes: jnp.ndarray  # [G, n_dof, 2T]
+    dq: Any  # DofQuadraticCost — stencil-form gradient (TPU-exact)
     wpp_tiled: jnp.ndarray  # [R, R] = tile(h0i[:T, :T], (nf, nf))
     cdiag: jnp.ndarray  # [R] capacitance diagonal 1/k_r
     num_goals: int = struct.field(pytree_node=False)
@@ -117,6 +118,7 @@ def build_woodbury(cost: Any, delta: float) -> WoodburyGN | None:
         h0i=jnp.asarray(h0i, dtype=dtype),
         a_dof=dq.a_dof,
         b_planes=dq.b_planes,
+        dq=dq,
         wpp_tiled=jnp.asarray(wpp_tiled, dtype=dtype),
         cdiag=jnp.asarray(cdiag, dtype=dtype),
         num_goals=dq.num_goals,
@@ -152,11 +154,24 @@ def gpmp_step_woodbury(
     fk_trajs = cost._fk_trajs if cost.fk is not None else None
     field_costs = [c for c in cost.costs if hasattr(c, "gn_rank1")]
 
+    # Everything dense below runs at Precision.HIGHEST: the [2T, 2T]/[R, R]
+    # matmuls are tiny, and the default single-pass-bf16 MXU error is enough
+    # to destabilize the solve (divergence measured on v5e at the planar
+    # sigmas before the round-3 stencil/precision fix).
+    hp = jax.lax.Precision.HIGHEST
+
     mu_planes = to_dof_planes(means)  # [nd, P, 2T] (dof-leading)
-    bg = jnp.transpose(
-        jnp.repeat(wb.b_planes, p // wb.num_goals, axis=0), (1, 0, 2)
-    )  # [nd, P, 2T]
-    g_planes = bg - (mu_planes.reshape(-1, t2) @ wb.a_dof).reshape(nd, p, t2)
+    if wb.dq is not None and wb.dq.q_i2 is not None:
+        # b - A mu in factor-graph residual form — exact on TPU (the dense
+        # form cancels two ~|A|*|mu| quantities through the MXU).
+        g_planes = wb.dq.grad_dof_planes(mu_planes)
+    else:  # legacy pytrees without stencil params
+        bg = jnp.transpose(
+            jnp.repeat(wb.b_planes, p // wb.num_goals, axis=0), (1, 0, 2)
+        )  # [nd, P, 2T]
+        g_planes = bg - jnp.matmul(
+            mu_planes.reshape(-1, t2), wb.a_dof, precision=hp
+        ).reshape(nd, p, t2)
 
     if wb.n_fields:
         hs, gs_pos = [], None
@@ -173,14 +188,16 @@ def gpmp_step_woodbury(
         )
         h_all = jnp.concatenate(hs, axis=1)  # [P, R, nd], R = nf*T
 
-    y0 = (g_planes.reshape(-1, t2) @ wb.h0i).reshape(nd, p, t2)
+    y0 = jnp.matmul(
+        g_planes.reshape(-1, t2), wb.h0i, precision=hp
+    ).reshape(nd, p, t2)
 
     if wb.n_fields:
         nf = wb.n_fields
-        gram = jnp.einsum("pri,psi->prs", h_all, h_all)  # [P, R, R]
+        gram = jnp.einsum("pri,psi->prs", h_all, h_all, precision=hp)
         c_mat = gram * wb.wpp_tiled + jnp.diag(wb.cdiag)
         y0p_tiled = jnp.tile(y0[..., :t], (1, 1, nf))  # [nd, P, R]
-        rhs = jnp.einsum("pri,ipr->pr", h_all, y0p_tiled)
+        rhs = jnp.einsum("pri,ipr->pr", h_all, y0p_tiled, precision=hp)
         chol = jnp.linalg.cholesky(c_mat)
         z = jax.lax.linalg.triangular_solve(
             chol, rhs[..., None], left_side=True, lower=True,
@@ -190,9 +207,13 @@ def gpmp_step_woodbury(
         )[..., 0]  # [P, R]
         zw = z.reshape(p, nf, t)
         h_resh = h_all.reshape(p, nf, t, nd)
-        uz_pos = jnp.einsum("pft,pfti->ipt", zw, h_resh)  # [nd, P, T]
+        uz_pos = jnp.einsum(
+            "pft,pfti->ipt", zw, h_resh, precision=hp
+        )  # [nd, P, T]
         uz = jnp.zeros_like(y0).at[..., :t].set(uz_pos)
-        x = y0 - (uz.reshape(-1, t2) @ wb.h0i).reshape(nd, p, t2)
+        x = y0 - jnp.matmul(
+            uz.reshape(-1, t2), wb.h0i, precision=hp
+        ).reshape(nd, p, t2)
     else:
         x = y0
 

@@ -129,6 +129,34 @@ def test_quadratic_cost_matches():
     np.testing.assert_allclose(got0, ref0, rtol=1e-9, atol=1e-9)
 
 
+def test_grad_dof_planes_matches_dense():
+    """The residual-form gradient equals ``b_planes - x @ a_dof`` exactly
+    (float64) — the TPU-safe form the Woodbury GN solve consumes."""
+    start, goals, _, _ = _priors()
+    gp = CostGP.create(
+        DOF, T, start, DT,
+        {"sigma_start": SIG_START, "sigma_gp": SIG_GP}, dtype=jnp.float64,
+    )
+    goal_prior = CostGoalPrior.create(
+        DOF, T, goals, sigma_goal_prior=20.0, dtype=jnp.float64
+    )
+    rng = np.random.default_rng(4)
+    trajs = jnp.asarray(rng.normal(size=(8, T, 2 * DOF)))  # goal-major, 4/goal
+    x_planes = to_dof_planes(trajs)
+    for gprior in (goal_prior, None):
+        dq = DofQuadraticCost.from_gp_and_goal_prior(gp, gprior, T)
+        bg = jnp.transpose(
+            jnp.repeat(dq.b_planes, 8 // dq.num_goals, axis=0), (1, 0, 2)
+        )
+        ref = bg - (x_planes.reshape(-1, 2 * T) @ dq.a_dof).reshape(
+            DOF, 8, 2 * T
+        )
+        got = dq.grad_dof_planes(x_planes)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-9, atol=1e-9
+        )
+
+
 def test_panda_fast_stack_dof_parity():
     """CostComposite([QuadraticCost, PlaneFieldsCost]).eval_dof_planes equals
     the flat eval — the config-5 fast stack is exact in the dof layout."""
