@@ -117,16 +117,25 @@ def solver_bench(t, n_samples=480, iters=50, chunks=4):
 
 
 def gn_bench(t, with_obstacles, method="woodbury", iters=20, chunks=3,
-             particles=15):
+             particles=15, delta=None):
     """Gauss-Newton (GPMP) iteration time: the structured sequential-over-T
     Cholesky vs the parallel-in-time Woodbury solve (planners/gpmp.py). The
     reference's dense per-particle solve is O(M^3) here
     (``planner.py:600-633``). ``--horizons 64`` with ``--gn-particles 192``
-    reproduces the planar parity scale of docs/PERFORMANCE.md."""
+    reproduces the planar parity scale of docs/PERFORMANCE.md.
+
+    ``delta`` defaults by horizon: 1e-2 at the parity scale, 1.0 at t >= 512
+    — undamped GN against the 1e10-weight collision hinge diverges at long
+    horizons on EVERY backend (measured: f32 CPU and TPU alike blow up
+    within ~40 iterations at T=1024 with delta <= 0.1; the Levenberg remedy
+    — raise the damping — keeps it contracting). Damping does not change
+    the per-iteration work being timed."""
     from stoch_gpmp_tpu.planners.gpmp import (
         GPMPState, build_woodbury, gpmp_optimize,
     )
 
+    if delta is None:
+        delta = 1.0 if t >= 512 else 1e-2
     sampler, cost, state = _problem(t, with_obstacles)
     del sampler
     means = state.particle_means
@@ -134,9 +143,9 @@ def gn_bench(t, with_obstacles, method="woodbury", iters=20, chunks=3,
         reps = -(-particles // means.shape[0])
         means = jnp.tile(means, (reps, 1, 1))[:particles]
     gstate = GPMPState(particle_means=means, key=state.key)
-    wb = build_woodbury(cost, 1e-2) if method == "woodbury" else None
+    wb = build_woodbury(cost, delta) if method == "woodbury" else None
     run = jax.jit(lambda st: gpmp_optimize(
-        cost, st, {}, opt_iters=iters, delta=1e-2, trust_region=False,
+        cost, st, {}, opt_iters=iters, delta=delta, trust_region=False,
         method=method, step_size=0.5, woodbury=wb))
     st = run(gstate)
     np.asarray(st.particle_means)
@@ -250,6 +259,9 @@ def main():
                     default="stochgpmp")
     ap.add_argument("--gn-iters", type=int, default=20)
     ap.add_argument("--gn-particles", type=int, default=15)
+    ap.add_argument("--gn-delta", type=float, default=None,
+                    help="GN damping (default: 1e-2, or 1.0 at t >= 512 — "
+                    "see gn_bench docstring)")
     ap.add_argument("--panda", action="store_true",
                     help="d=14 long-horizon A/B (dof dense-apply vs legacy "
                     "pscan path); horizons with 2T <= 2048 only for dof")
@@ -266,7 +278,7 @@ def main():
             for method in ("woodbury", "cholesky"):
                 print(json.dumps(gn_bench(
                     t, True, method=method, iters=args.gn_iters,
-                    particles=args.gn_particles,
+                    particles=args.gn_particles, delta=args.gn_delta,
                 )), flush=True)
             continue
         print(json.dumps(solver_bench(t)), flush=True)

@@ -198,13 +198,24 @@ def gpmp_step_woodbury(
         c_mat = gram * wb.wpp_tiled + jnp.diag(wb.cdiag)
         y0p_tiled = jnp.tile(y0[..., :t], (1, 1, nf))  # [nd, P, R]
         rhs = jnp.einsum("pri,ipr->pr", h_all, y0p_tiled, precision=hp)
-        chol = jnp.linalg.cholesky(c_mat)
-        z = jax.lax.linalg.triangular_solve(
-            chol, rhs[..., None], left_side=True, lower=True,
-        )
-        z = jax.lax.linalg.triangular_solve(
-            chol, z, left_side=True, lower=True, transpose_a=True,
-        )[..., 0]  # [P, R]
+        # Jacobi-equilibrate the capacitance before factorizing: rows where
+        # the field gradient vanishes sit at the bare cdiag floor (~1e-10)
+        # while active rows reach ~1e4 — and XLA's BLOCKED Cholesky /
+        # triangular_solve run their internal matmuls at default precision,
+        # which at R >= 1024 turns that spread into an indefinite factor
+        # (NaNs measured on v5e at T=1024). Scaling to unit diagonal plus
+        # HIGHEST-precision internals keeps the factorization exact.
+        s = jax.lax.rsqrt(jnp.einsum("prr->pr", c_mat))  # [P, R]
+        c_scaled = c_mat * s[:, :, None] * s[:, None, :]
+        with jax.default_matmul_precision("highest"):
+            chol = jnp.linalg.cholesky(c_scaled)
+            z = jax.lax.linalg.triangular_solve(
+                chol, (rhs * s)[..., None], left_side=True, lower=True,
+            )
+            z = jax.lax.linalg.triangular_solve(
+                chol, z, left_side=True, lower=True, transpose_a=True,
+            )[..., 0]  # [P, R]
+        z = z * s
         zw = z.reshape(p, nf, t)
         h_resh = h_all.reshape(p, nf, t, nd)
         uz_pos = jnp.einsum(
