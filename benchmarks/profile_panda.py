@@ -53,12 +53,112 @@ def _timed_scan(body, carry, iters, reps=3):
     return (time.perf_counter() - t0) / (reps * iters)
 
 
+def _dof_pieces(sampler, cost, state, obs, num_samples, iters):
+    """Piece profile of the dof-factored path (_stoch_gpmp_optimize_dof):
+    every hot term in isolation with a SCALAR carry and in-body synthetic
+    inputs (see _timed_scan trap note), plus the full step with its real
+    (mu_planes, key) carry. The stencil/dense quadratic and matvec A/Bs
+    time the round-3 precision-trap fix against the (numerically unsafe)
+    matmul forms it replaced."""
+    from stoch_gpmp_tpu.gp.dof_factored import to_dof_planes
+    from stoch_gpmp_tpu.planners import stoch_gpmp_optimize
+
+    p, t, d2 = state.particle_means.shape
+    nd = d2 // 2
+    t2 = 2 * t
+    n = p * num_samples
+    dof = sampler.dof
+    quad = next(c for c in cost.costs if getattr(c, "dof_form", None) is not None)
+    dq = quad.dof_form
+    fields = [c for c in cost.costs if c is not quad]
+
+    def report(name, sec, rng_sec=None):
+        rec = {"piece": name, "us_per_iter": round(sec * 1e6, 1)}
+        if rng_sec is not None:
+            rec["minus_rng_us"] = round((sec - rng_sec) * 1e6, 1)
+        print(json.dumps(rec), flush=True)
+
+    # full dof step, real carry (like-for-like with run.py's number)
+    def full_body(carry):
+        st, _ = carry
+        new_state, _ = stoch_gpmp_optimize(
+            sampler, cost, st, obs, opt_iters=1, num_samples=num_samples,
+            temperature=1.0, step_size=0.1, sample_method="dof",
+        )
+        return (new_state, new_state.key)
+
+    report("dof-full-step",
+           _timed_scan(full_body, (state, state.key), iters))
+
+    # Every isolated piece below consumes a FRESH RNG input: a jnp.full /
+    # iota input varies along at most one axis, so XLA's algebraic
+    # simplifier keeps the whole elementwise (stencil) pipeline on
+    # broadcast-of-[2T] operands and the "measurement" collapses (observed:
+    # 30 us for a 36M-element stencil eval). RNG cost is reported alone and
+    # subtracted (minus_rng_us) for attribution.
+    key0 = jax.random.key(7, impl="unsafe_rbg")
+
+    def _rng_x(i, shape):
+        return jax.random.normal(jax.random.fold_in(key0, i), shape,
+                                 jnp.float32)
+
+    def _timed_piece(shape, fn, iters):
+        def body(carry):
+            i, acc = carry
+            x = _rng_x(i, shape)
+            return (i + 1, acc + fn(x) * 1e-20)
+
+        return _timed_scan(body, (jnp.int32(0), jnp.float32(0)), iters)
+
+    rng_n = _timed_piece((nd, n, t2), lambda x: x.sum(), iters)
+    rng_p = _timed_piece((nd, p, t2), lambda x: x.sum(), iters)
+    report("dof-rng-[d,N,2T]", rng_n)
+    report("dof-rng-[d,P,2T]", rng_p)
+
+    # sampling matmul [N*d, 2T] @ [2T, 2T]
+    w_dof = dof.w_dof
+    report("dof-sample-matmul",
+           _timed_piece((nd * n, t2), lambda x: (x @ w_dof).sum(), iters),
+           rng_n)
+
+    # quadratic eval: stencil (shipping) vs dense matmul (unsafe; timing A/B)
+    report("dof-quad-stencil",
+           _timed_piece((nd, n, t2),
+                        lambda x: dq.eval_dof_planes(x).sum(), iters),
+           rng_n)
+    report("dof-quad-dense(unsafe)",
+           _timed_piece((nd, n, t2),
+                        lambda x: dq.eval_dof_planes_dense(x).sum(), iters),
+           rng_n)
+
+    # importance matvec on means [d, P, 2T]: stencil vs dense
+    prec = dof.prec_dof
+    report("dof-matvec-stencil",
+           _timed_piece((nd, p, t2),
+                        lambda x: dof.matvec_planes(x).sum(), iters),
+           rng_p)
+    report("dof-matvec-dense(unsafe)",
+           _timed_piece((nd * p, t2), lambda x: (x @ prec).sum(), iters),
+           rng_p)
+
+    # field costs on dof planes (FK + fields from position planes)
+    for f in fields:
+        report(f"dof-fields({type(f).__name__})",
+               _timed_piece((nd, n, t2),
+                            lambda x, f=f: f.eval_dof_planes(
+                                x, observation=obs).sum(), iters),
+               rng_n)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=5, choices=[4, 5])
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--skip-variants", action="store_true",
                     help="only run the isolated pieces")
+    ap.add_argument("--dof", action="store_true",
+                    help="profile the dof-factored path pieces instead of "
+                    "the flat stack")
     args = ap.parse_args()
 
     from benchmarks.run import _panda_problem
@@ -77,6 +177,10 @@ def main():
     m = t * d
     print(json.dumps({"config": args.config, "P": p, "S": num_samples,
                       "T": t, "d": d, "N": n, "M": m}), flush=True)
+
+    if args.dof:
+        _dof_pieces(sampler, cost, state, obs, num_samples, args.iters)
+        return
 
     def report(name, sec):
         print(json.dumps({"piece": name, "us_per_iter": round(sec * 1e6, 1)}),
