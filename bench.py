@@ -11,9 +11,45 @@ vs_baseline is vs the 5,000 updates/sec north-star target (BASELINE.json).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
+
+def _ensure_live_backend():
+    """Probe the default jax backend in a SUBPROCESS with a timeout: a dead
+    remote-TPU attachment hangs ``jax.devices()`` indefinitely in-process
+    (observed on the axon tunnel), which would leave the driver with no
+    number at all. On probe failure re-exec on CPU with an honest marker.
+
+    The re-exec also strips the remote-backend sitecustomize from
+    PYTHONPATH: its ``register()`` runs at interpreter start (pre-main) and
+    can itself hang on a dead tunnel, so a CPU child with the ambient
+    PYTHONPATH would never reach this module. (If THIS process's own
+    startup hung there, no in-module guard can help — this guard covers the
+    post-registration failure modes.)"""
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        return False
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=420, check=True, capture_output=True,
+        )
+        return True
+    except Exception:
+        pypath = os.pathsep.join(
+            p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=pypath,
+                   STOCH_GPMP_BENCH_FALLBACK="1")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+_ensure_live_backend()
+
+import jax  # noqa: E402
 
 
 def _make_runner(fused: bool):
@@ -32,6 +68,8 @@ def _make_runner(fused: bool):
         n_dof=2, traj_len=64, num_goals=3, ppg=5, with_obstacles=True, fast=True
     )
     opt_iters, num_samples = 1000, 128
+    if os.environ.get("STOCH_GPMP_BENCH_FALLBACK"):
+        opt_iters = 100  # CPU emergency number, not the headline protocol
 
     if fused:
         from stoch_gpmp_tpu.ops.pallas.fused_step import (
@@ -98,16 +136,15 @@ def main():
     iters = n_chunks * opt_iters
     updates_per_sec = num_particles * iters / elapsed
     baseline = 5000.0
-    print(
-        json.dumps(
-            {
-                "metric": "planar particle-trajectory updates/sec (P=15, S=128, T=64, f32)",
-                "value": round(updates_per_sec, 1),
-                "unit": "updates/sec",
-                "vs_baseline": round(updates_per_sec / baseline, 3),
-            }
-        )
-    )
+    rec = {
+        "metric": "planar particle-trajectory updates/sec (P=15, S=128, T=64, f32)",
+        "value": round(updates_per_sec, 1),
+        "unit": "updates/sec",
+        "vs_baseline": round(updates_per_sec / baseline, 3),
+    }
+    if os.environ.get("STOCH_GPMP_BENCH_FALLBACK"):
+        rec["note"] = "TPU backend unavailable at run time; CPU fallback"
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
