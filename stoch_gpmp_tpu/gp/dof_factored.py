@@ -423,9 +423,21 @@ class DofQuadraticCost:
     def eval_dof_planes(self, x_planes: jnp.ndarray, observation=None) -> jnp.ndarray:
         """``x_planes [d, B, 2T]`` (dof-leading, goal-major batch) -> ``[B]``
         costs, in factor-graph residual form (exact ``x A x - 2 b x + c``
-        rewritten as sums of local quadratics — no MXU, no cancellation)."""
+        rewritten as sums of local quadratics — no MXU, no cancellation).
+
+        On TPU the residual form runs as a single-pass Pallas kernel when
+        eligible (``dof_quad_eval_pallas``): XLA leaves the ~20 shifted
+        elementwise passes unfused at scale, which is HBM-bound on the
+        [d, N, 2T] sample batch (measured ~2.4x whole-iteration regression
+        at config 5 — docs/PERFORMANCE.md round 3)."""
         if self.q_i2 is None:  # legacy pytrees without stencil params
             return self.eval_dof_planes_dense(x_planes)
+        if jax.default_backend() == "tpu":
+            from stoch_gpmp_tpu.ops.pallas.stencil import dof_quad_eval_pallas
+
+            out = dof_quad_eval_pallas(self, x_planes)
+            if out is not None:
+                return out
         d, b, t2 = x_planes.shape
         t = self.traj_len
         p = x_planes[..., :t]

@@ -24,8 +24,12 @@ Used by ``ops/pallas/fused_step.py`` (planar, d=2) and
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -124,6 +128,104 @@ def needs_stencil(dof_quad) -> bool:
         float(np.abs(np.asarray(dof_quad.k_s2)).max()),
         float(np.abs(np.asarray(dof_quad.k_g2)).max()),
     ) > STENCIL_CONDITION_THRESHOLD
+
+
+def _dof_quad_kernel(x_ref, anch_ref, out_ref, *, traj_len, quad_stencil):
+    """One (batch-block, dof) grid step of :func:`dof_quad_eval_pallas`:
+    the full stencil energy of a ``[Bb, 2T]`` tile in ONE pass over its
+    rows. ``anch_ref [1, Bb, 4]`` carries the per-row anchor values
+    (start pos/vel, goal pos/vel) for this dof."""
+    t = traj_len
+    q_i2, k_s2, k_g2, dt = quad_stencil
+    q11, q12, q22 = float(q_i2[0, 0]), float(q_i2[0, 1]), float(q_i2[1, 1])
+    ks11, ks12, ks22 = float(k_s2[0, 0]), float(k_s2[0, 1]), float(k_s2[1, 1])
+    kg11, kg12, kg22 = float(k_g2[0, 0]), float(k_g2[0, 1]), float(k_g2[1, 1])
+
+    x = x_ref[0]
+    p_ = x[:, :t]
+    v_ = x[:, t:]
+    nb = p_.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nb, t), 1)
+    gp_mask = (lane < t - 1).astype(jnp.float32)
+    onehot0 = (lane == 0).astype(jnp.float32)
+    onehot_last = (lane == t - 1).astype(jnp.float32)
+    # left-shift by one lane == circular roll by t-1 (non-negative shift);
+    # the wrapped lane is masked by gp_mask
+    p1 = pltpu.roll(p_, shift=t - 1, axis=1)
+    v1 = pltpu.roll(v_, shift=t - 1, axis=1)
+    rp = (p_ + dt * v_ - p1) * gp_mask
+    rv = (v_ - v1) * gp_mask
+    e = jnp.sum(
+        q11 * rp * rp + 2.0 * q12 * rp * rv + q22 * rv * rv,
+        axis=1, keepdims=True,
+    )  # [Bb, 1]
+    anch = anch_ref[0]  # [Bb, 4]
+    r0p = jnp.sum(p_ * onehot0, axis=1, keepdims=True) - anch[:, 0:1]
+    r0v = jnp.sum(v_ * onehot0, axis=1, keepdims=True) - anch[:, 1:2]
+    e = e + (ks11 * r0p * r0p + 2.0 * ks12 * r0p * r0v + ks22 * r0v * r0v)
+    rgp = jnp.sum(p_ * onehot_last, axis=1, keepdims=True) - anch[:, 2:3]
+    rgv = jnp.sum(v_ * onehot_last, axis=1, keepdims=True) - anch[:, 3:4]
+    e = e + (kg11 * rgp * rgp + 2.0 * kg12 * rgp * rgv + kg22 * rgv * rgv)
+    out_ref[:] = e
+
+
+def dof_quad_eval_pallas(dof_quad, x_planes, *, interpret=None):
+    """Single-pass Pallas evaluation of ``DofQuadraticCost`` on dof planes
+    ``x_planes [d, B, 2T]`` (goal-major batch) -> ``[B]`` costs.
+
+    Numerically IDENTICAL factor-graph residual form as
+    ``DofQuadraticCost.eval_dof_planes`` (same ops, same order per dof),
+    but the ~20 shifted/masked elementwise passes run inside one kernel:
+    the XLA lowering of the plain stencil leaves them unfused at config-5
+    scale (x is 147 MB; measured ~2.4x whole-iteration regression,
+    docs/PERFORMANCE.md round 3), while the kernel reads each ``[Bb, 2T]``
+    tile once. Grid = (batch blocks, dofs); each step writes a ``[Bb, 1]``
+    energy column of the ``[B, d]`` output, summed over dofs outside.
+
+    Requires ``traj_len % 128 == 0`` (clean lane slice of the pos/vel
+    halves) and a batch divisible by 8; returns None if ineligible so the
+    caller can fall back to the XLA stencil."""
+    d, b, t2 = x_planes.shape
+    t = dof_quad.traj_len
+    if (t % 128 != 0 or dof_quad.q_i2 is None or b % dof_quad.num_goals
+            or x_planes.dtype != jnp.float32):
+        return None
+    bb = next((c for c in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+               if b % c == 0), None)
+    if bb is None:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # per-(dof, row) anchor values [d, B, 4]: start pos/vel (per dof),
+    # goal pos/vel (per dof, goal-major rows). Loop-invariant — XLA hoists
+    # it out of the planner scan.
+    ppg_rows = b // dof_quad.num_goals
+    s_rows = jnp.broadcast_to(dof_quad.s_pd[:, None, :], (d, b, 2))
+    g_rows = jnp.repeat(
+        jnp.transpose(dof_quad.g_pd, (1, 0, 2)), ppg_rows, axis=1
+    )  # [d, B, 2]
+    anch = jnp.concatenate([s_rows, g_rows], axis=-1)  # [d, B, 4]
+
+    kernel = functools.partial(
+        _dof_quad_kernel, traj_len=t,
+        quad_stencil=quad_stencil_consts(dof_quad),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // bb, d),
+        in_specs=[
+            pl.BlockSpec((1, bb, t2), lambda i, di: (di, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, 4), lambda i, di: (di, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, 1), lambda i, di: (i, di),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        interpret=interpret,
+    )(x_planes, anch)
+    return jnp.sum(out, axis=1)
 
 
 def dense_quad_from_dof(dof_quad, traj_len: int, n_dof: int):

@@ -284,3 +284,52 @@ def test_matvec_matches_dense_precision():
     ref = np.asarray(dense.precision.matvec(x))
     got = np.asarray(from_dof_planes(dof.matvec_planes(to_dof_planes(x))))
     np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_pallas_dof_quad_eval_matches_stencil():
+    """The single-pass Pallas stencil kernel (interpret mode) equals the
+    XLA residual-form eval and a float64 oracle at the reference's Panda
+    sigmas (~2e11-scale weights) — the round-3 config-5 hot path."""
+    from stoch_gpmp_tpu.ops.pallas.stencil import dof_quad_eval_pallas
+
+    t, n_dof = 128, 3
+    rng = np.random.default_rng(11)
+    start = jnp.asarray(rng.normal(size=2 * n_dof), jnp.float64)
+    goals = jnp.asarray(rng.normal(size=(2, 2 * n_dof)), jnp.float64)
+
+    def build(dtype):
+        gp = CostGP.create(
+            n_dof, t, start.astype(dtype), 0.05,
+            {"sigma_start": 1e-4, "sigma_gp": 7e-4}, dtype=dtype,
+        )
+        goal_prior = CostGoalPrior.create(
+            n_dof, t, goals.astype(dtype), sigma_goal_prior=20.0, dtype=dtype
+        )
+        return DofQuadraticCost.from_gp_and_goal_prior(gp, goal_prior, t)
+
+    dq32, dq64 = build(jnp.float32), build(jnp.float64)
+    # small excursions around the start state (the planner regime: tight
+    # sigmas => tiny spreads on a huge-weight quadratic)
+    trajs = np.broadcast_to(
+        np.asarray(start, np.float64), (16, t, 2 * n_dof)
+    ) + rng.normal(size=(16, t, 2 * n_dof)) * 1e-3
+    xp32 = to_dof_planes(jnp.asarray(trajs, jnp.float32))
+
+    oracle = np.asarray(dq64.eval_dof_planes(to_dof_planes(jnp.asarray(trajs))))
+    xla32 = np.asarray(dq32.eval_dof_planes(xp32))
+    pal = dof_quad_eval_pallas(dq32, xp32, interpret=True)
+    assert pal is not None
+    pal = np.asarray(pal)
+    np.testing.assert_allclose(pal, xla32, rtol=2e-6)
+    np.testing.assert_allclose(pal, oracle, rtol=2e-4)
+
+    # ineligible shapes fall back (caller handles None)
+    assert dof_quad_eval_pallas(
+        dq32, xp32[:, :15], interpret=True) is None  # b=15 not divisible
+    dq13 = DofQuadraticCost.from_gp_and_goal_prior(
+        CostGP.create(n_dof, 13, start.astype(jnp.float32), 0.05,
+                      {"sigma_start": 1e-4, "sigma_gp": 7e-4},
+                      dtype=jnp.float32),
+        None, 13)
+    x13 = jnp.zeros((n_dof, 8, 26), jnp.float32)
+    assert dof_quad_eval_pallas(dq13, x13, interpret=True) is None
