@@ -130,11 +130,19 @@ def needs_stencil(dof_quad) -> bool:
     ) > STENCIL_CONDITION_THRESHOLD
 
 
-def _dof_quad_kernel(x_ref, anch_ref, out_ref, *, traj_len, quad_stencil):
+def _dof_quad_kernel(x_ref, anch_ref, *rest, traj_len, quad_stencil,
+                     temperature=None, num_samples=None):
     """One (batch-block, dof) grid step of :func:`dof_quad_eval_pallas`:
     the full stencil energy of a ``[Bb, 2T]`` tile in ONE pass over its
     rows. ``anch_ref [1, Bb, 4]`` carries the per-row anchor values
-    (start pos/vel, goal pos/vel) for this dof."""
+    (start pos/vel, goal pos/vel) for this dof. With ``temperature`` set,
+    ``rest`` leads with ``pu_ref [1, Bb/S, 2T]`` (the per-particle
+    ``Sigma^{-1} mu`` planes) and the planner's importance term
+    ``tau * x . pu`` fuses into the same pass."""
+    if temperature is not None:
+        pu_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     t = traj_len
     q_i2, k_s2, k_g2, dt = quad_stencil
     q11, q12, q22 = float(q_i2[0, 0]), float(q_i2[0, 1]), float(q_i2[1, 1])
@@ -166,10 +174,16 @@ def _dof_quad_kernel(x_ref, anch_ref, out_ref, *, traj_len, quad_stencil):
     rgp = jnp.sum(p_ * onehot_last, axis=1, keepdims=True) - anch[:, 2:3]
     rgv = jnp.sum(v_ * onehot_last, axis=1, keepdims=True) - anch[:, 3:4]
     e = e + (kg11 * rgp * rgp + 2.0 * kg12 * rgp * rgv + kg22 * rgv * rgv)
+    if temperature is not None:
+        pu_rows = jnp.repeat(pu_ref[0], num_samples, axis=0)  # [Bb, 2T]
+        e = e + float(temperature) * jnp.sum(
+            x * pu_rows, axis=1, keepdims=True
+        )
     out_ref[:] = e
 
 
-def dof_quad_eval_pallas(dof_quad, x_planes, *, interpret=None):
+def dof_quad_eval_pallas(dof_quad, x_planes, *, pu=None, temperature=None,
+                         num_samples=None, interpret=None):
     """Single-pass Pallas evaluation of ``DofQuadraticCost`` on dof planes
     ``x_planes [d, B, 2T]`` (goal-major batch) -> ``[B]`` costs.
 
@@ -182,6 +196,11 @@ def dof_quad_eval_pallas(dof_quad, x_planes, *, interpret=None):
     tile once. Grid = (batch blocks, dofs); each step writes a ``[Bb, 1]``
     energy column of the ``[B, d]`` output, summed over dofs outside.
 
+    With ``pu [d, P, 2T]`` + ``temperature`` + ``num_samples`` the planner's
+    importance term ``tau * sum(x * pu)`` (one more full pass over x in
+    XLA) fuses into the same read; rows must be sample-minor per particle
+    (``B = P * num_samples``, the dof path's layout).
+
     Requires ``traj_len % 128 == 0`` (clean lane slice of the pos/vel
     halves) and a batch divisible by 8; returns None if ineligible so the
     caller can fall back to the XLA stencil."""
@@ -190,8 +209,11 @@ def dof_quad_eval_pallas(dof_quad, x_planes, *, interpret=None):
     if (t % 128 != 0 or dof_quad.q_i2 is None or b % dof_quad.num_goals
             or x_planes.dtype != jnp.float32):
         return None
+    s = num_samples if pu is not None else 1
+    if pu is not None and (temperature is None or s is None or b % s):
+        return None
     bb = next((c for c in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
-               if b % c == 0), None)
+               if b % c == 0 and c % s == 0), None)
     if bb is None:
         return None
     if interpret is None:
@@ -210,21 +232,31 @@ def dof_quad_eval_pallas(dof_quad, x_planes, *, interpret=None):
     kernel = functools.partial(
         _dof_quad_kernel, traj_len=t,
         quad_stencil=quad_stencil_consts(dof_quad),
+        temperature=temperature if pu is not None else None,
+        num_samples=s if pu is not None else None,
     )
+    in_specs = [
+        pl.BlockSpec((1, bb, t2), lambda i, di: (di, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bb, 4), lambda i, di: (di, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x_planes, anch]
+    if pu is not None:
+        in_specs.append(
+            pl.BlockSpec((1, bb // s, t2), lambda i, di: (di, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(pu)
     out = pl.pallas_call(
         kernel,
         grid=(b // bb, d),
-        in_specs=[
-            pl.BlockSpec((1, bb, t2), lambda i, di: (di, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bb, 4), lambda i, di: (di, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, 1), lambda i, di: (i, di),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
         interpret=interpret,
-    )(x_planes, anch)
+    )(*args)
     return jnp.sum(out, axis=1)
 
 

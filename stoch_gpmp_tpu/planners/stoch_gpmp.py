@@ -301,6 +301,26 @@ def _stoch_gpmp_optimize_planes(
     return out_state, aux, metrics
 
 
+def _dof_quad_split(cost):
+    """Split a dof-capable cost stack into ``(DofQuadraticCost, rest)`` when
+    it contains exactly one quadratic component (bare or wrapped with a
+    ``dof_form``); ``(None, None)`` otherwise — the fused-quadratic fast
+    path then stays off and the composite eval runs unchanged."""
+    from stoch_gpmp_tpu.gp.dof_factored import DofQuadraticCost
+
+    comps = list(getattr(cost, "costs", None) or [cost])
+    quads = [
+        (i, c if isinstance(c, DofQuadraticCost) else c.dof_form)
+        for i, c in enumerate(comps)
+        if isinstance(c, DofQuadraticCost)
+        or getattr(c, "dof_form", None) is not None
+    ]
+    if len(quads) != 1:
+        return None, None
+    i, dq = quads[0]
+    return dq, [c for j, c in enumerate(comps) if j != i]
+
+
 def _stoch_gpmp_optimize_dof(
     sampler, cost, state, observation, *, opt_iters, num_samples,
     temperature, step_size, collect_metrics=False,
@@ -317,21 +337,46 @@ def _stoch_gpmp_optimize_dof(
 
     p, t, d2 = state.particle_means.shape
     dof = sampler.dof
+    # On TPU the quadratic + importance fuse into ONE Pallas pass over the
+    # [d, N, 2T] sample batch (ops/pallas/stencil.py): left in XLA, the
+    # stencil's shifted elementwise passes plus the x.pu reduce each
+    # re-stream the whole batch through HBM (measured ~2.4x iteration
+    # regression at config 5 — docs/PERFORMANCE.md round 3).
+    dq, rest_costs = (
+        _dof_quad_split(cost)
+        if jax.default_backend() == "tpu" else (None, None)
+    )
 
     def step(mu_planes, key):
         key, sub = jax.random.split(key)
         x, corr = dof.sample_planes(sub, mu_planes, num_samples)  # [d,P,S,2T]
-        costs = cost.eval_dof_planes(
-            x.reshape(d2 // 2, p * num_samples, 2 * t),
-            observation=observation,
-        ).reshape(p, num_samples)
+        x_flat = x.reshape(d2 // 2, p * num_samples, 2 * t)
         pu = dof.matvec_planes(mu_planes)  # [d, P, 2T] (exact stencil)
-        # elementwise multiply + reduce (VPU-exact) — an einsum here becomes
-        # a dot_general whose default bf16 MXU passes add noise at the
-        # ~1e6-scale pu entries
-        costs = costs + temperature * jnp.sum(
-            x * pu[:, :, None, :], axis=(0, -1)
-        )
+        fused = None
+        if dq is not None:
+            from stoch_gpmp_tpu.ops.pallas.stencil import dof_quad_eval_pallas
+
+            fused = dof_quad_eval_pallas(
+                dq, x_flat, pu=pu, temperature=temperature,
+                num_samples=num_samples,
+            )
+        if fused is not None:
+            costs = fused
+            for c in rest_costs:
+                costs = costs + c.eval_dof_planes(
+                    x_flat, observation=observation
+                )
+            costs = costs.reshape(p, num_samples)
+        else:
+            costs = cost.eval_dof_planes(
+                x_flat, observation=observation,
+            ).reshape(p, num_samples)
+            # elementwise multiply + reduce (VPU-exact) — an einsum here
+            # becomes a dot_general whose default bf16 MXU passes add noise
+            # at the ~1e6-scale pu entries
+            costs = costs + temperature * jnp.sum(
+                x * pu[:, :, None, :], axis=(0, -1)
+            )
         weights = jax.nn.softmax(-costs / temperature, axis=1)
         grad = jnp.einsum("ps,dpsk->dpk", weights, corr)
         new_mu = mu_planes + step_size * grad

@@ -333,3 +333,44 @@ def test_pallas_dof_quad_eval_matches_stencil():
         None, 13)
     x13 = jnp.zeros((n_dof, 8, 26), jnp.float32)
     assert dof_quad_eval_pallas(dq13, x13, interpret=True) is None
+
+
+def test_pallas_dof_quad_importance_fusion():
+    """The pu-fused kernel equals quad eval + tau * sum(x * pu) (the
+    planner dof path's importance term), and _dof_quad_split finds the
+    quadratic in the stacks the planner sees."""
+    from stoch_gpmp_tpu.costs import CostComposite
+    from stoch_gpmp_tpu.ops.pallas.stencil import dof_quad_eval_pallas
+    from stoch_gpmp_tpu.planners.stoch_gpmp import _dof_quad_split
+
+    t, n_dof, p, s = 128, 3, 4, 4
+    rng = np.random.default_rng(5)
+    start = jnp.asarray(rng.normal(size=2 * n_dof), jnp.float32)
+    gp = CostGP.create(
+        n_dof, t, start, 0.05,
+        {"sigma_start": 1e-3, "sigma_gp": 0.07}, dtype=jnp.float32,
+    )
+    dq = DofQuadraticCost.from_gp_and_goal_prior(gp, None, t)
+
+    x = jnp.asarray(rng.normal(size=(n_dof, p, s, 2 * t)), jnp.float32)
+    pu = jnp.asarray(rng.normal(size=(n_dof, p, 2 * t)), jnp.float32)
+    x_flat = x.reshape(n_dof, p * s, 2 * t)
+    tau = 0.7
+
+    base = dof_quad_eval_pallas(dq, x_flat, interpret=True)
+    fused = dof_quad_eval_pallas(
+        dq, x_flat, pu=pu, temperature=tau, num_samples=s, interpret=True
+    )
+    assert base is not None and fused is not None
+    expect = np.asarray(base) + tau * np.asarray(
+        jnp.sum(x * pu[:, :, None, :], axis=(0, -1))
+    ).reshape(-1)
+    np.testing.assert_allclose(np.asarray(fused), expect, rtol=1e-5,
+                               atol=1e-5)
+
+    got_dq, rest = _dof_quad_split(dq)
+    assert got_dq is dq and rest == []
+    comp = CostComposite.create(n_dof, t, [dq], fk=None)
+    got_dq, rest = _dof_quad_split(comp)
+    assert got_dq is dq and rest == []
+    assert _dof_quad_split(object()) == (None, None)
