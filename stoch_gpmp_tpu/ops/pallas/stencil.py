@@ -227,7 +227,7 @@ def dof_quad_eval_pallas(dof_quad, x_planes, *, pu=None, temperature=None,
     g_rows = jnp.repeat(
         jnp.transpose(dof_quad.g_pd, (1, 0, 2)), ppg_rows, axis=1
     )  # [d, B, 2]
-    anch = jnp.concatenate([s_rows, g_rows], axis=-1)  # [d, B, 4]
+    anch = jnp.concatenate([s_rows, g_rows], axis=-1).astype(jnp.float32)
 
     kernel = functools.partial(
         _dof_quad_kernel, traj_len=t,
