@@ -105,7 +105,15 @@ class QuadraticCost(Cost):
     def eval(self, trajs, x_trajs=None, observation=None):
         batch = trajs.shape[0]
         if self.dof_form is not None and self.dof_form.q_i2 is not None:
-            return self._eval_stencil(trajs)
+            from stoch_gpmp_tpu.ops.pallas.stencil import needs_stencil
+
+            # same conditioning gate as the fused kernels: the residual
+            # form is mandatory where bf16 MXU error would swamp the answer
+            # (Panda, ~2e11 weights) but costs extra unfused VPU passes at
+            # scale; at mild weights (planar, <=~1e8) the one-matmul dense
+            # form is exact enough and faster (see STENCIL_CONDITION_THRESHOLD)
+            if needs_stencil(self.dof_form):
+                return self._eval_stencil(trajs)
         x = trajs.reshape(batch, -1)  # [B, M]
         quad = jnp.sum((x @ self.a_dense) * x, axis=-1)
         xg = x.reshape(self.num_goals, -1, x.shape[-1])
