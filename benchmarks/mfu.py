@@ -47,18 +47,6 @@ V5E_F32_PEAK = V5E_BF16_PEAK / 4  # multi-pass bf16 passes per f32 matmul
 V5E_HBM_BW = 819e9
 
 
-def _cost_analysis(jf, *args):
-    """XLA's (flops, bytes accessed) for the compiled program, or Nones."""
-    try:
-        ca = jf.lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None, \
-            float(ca.get("bytes accessed", 0.0)) or None
-    except Exception:
-        return None, None
-
-
 def _time_chunks(run, first_args, n_chunks, sync):
     out = run(*first_args)
     sync(out)
@@ -106,13 +94,27 @@ def xla_stoch_gpmp_mfu(name, sampler, cost, state, obs, *, num_samples,
                        analytic_flops_iter=None):
     from stoch_gpmp_tpu.planners import stoch_gpmp_optimize
 
-    run = jax.jit(
+    jf = jax.jit(
         lambda sa, c, st, ob: stoch_gpmp_optimize(
             sa, c, st, ob, opt_iters=opt_iters, num_samples=num_samples,
             temperature=1.0, step_size=step_size,
         )
     )
-    flops, bytes_acc = _cost_analysis(run, sampler, cost, state, obs)
+    # compile ONCE and reuse the executable for both the cost analysis and
+    # the timed run (a second trace-compile costs minutes through the
+    # remote-compile tunnel)
+    try:
+        run = jf.lower(sampler, cost, state, obs).compile()
+        try:
+            ca = run.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) or None
+            bytes_acc = float(ca.get("bytes accessed", 0.0)) or None
+        except Exception:
+            flops, bytes_acc = None, None
+    except Exception:
+        run, flops, bytes_acc = jf, None, None
 
     def chunk(st):
         st2, _ = run(sampler, cost, st, obs)
