@@ -39,6 +39,11 @@ class QuadraticCost(Cost):
     # lets the planner's dof-plane fast path evaluate this cost as d
     # [B, 2T] @ [2T, 2T] matmuls (factor-d fewer FLOPs than a_dense)
     dof_form: object | None = None
+    # conditioning verdict, decided at CONSTRUCTION (needs_stencil on
+    # concrete weights — eval runs under tracing where the weights are
+    # Tracers): stencil where bf16 MXU error would swamp the quadratic
+    # (Panda, ~2e11 weights), one-matmul dense form at mild weights
+    stencil_required: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
     def from_gp_and_goal_prior(
@@ -84,6 +89,15 @@ class QuadraticCost(Cost):
             )
         except ValueError:  # non-isotropic weights: dense form only
             dof_form = None
+        if dof_form is not None:
+            from stoch_gpmp_tpu.ops.pallas.stencil import needs_stencil
+
+            try:
+                stencil_required = bool(needs_stencil(dof_form))
+            except Exception:  # built under tracing: keep the safe default
+                stencil_required = True
+        else:
+            stencil_required = True
         return cls(
             a_dense=a_dense,
             a_diag=diag,
@@ -94,6 +108,7 @@ class QuadraticCost(Cost):
             traj_len=traj_len,
             state_dim=d,
             dof_form=dof_form,
+            stencil_required=stencil_required,
         )
 
     def supports_dof_planes(self) -> bool:
@@ -105,14 +120,9 @@ class QuadraticCost(Cost):
     def eval(self, trajs, x_trajs=None, observation=None):
         batch = trajs.shape[0]
         if self.dof_form is not None and self.dof_form.q_i2 is not None:
-            from stoch_gpmp_tpu.ops.pallas.stencil import needs_stencil
-
-            # same conditioning gate as the fused kernels: the residual
-            # form is mandatory where bf16 MXU error would swamp the answer
-            # (Panda, ~2e11 weights) but costs extra unfused VPU passes at
-            # scale; at mild weights (planar, <=~1e8) the one-matmul dense
-            # form is exact enough and faster (see STENCIL_CONDITION_THRESHOLD)
-            if needs_stencil(self.dof_form):
+            # same conditioning gate as the fused kernels (see the
+            # stencil_required field + STENCIL_CONDITION_THRESHOLD)
+            if self.stencil_required:
                 return self._eval_stencil(trajs)
         x = trajs.reshape(batch, -1)  # [B, M]
         quad = jnp.sum((x @ self.a_dense) * x, axis=-1)
