@@ -374,3 +374,69 @@ def test_pallas_dof_quad_importance_fusion():
     got_dq, rest = _dof_quad_split(comp)
     assert got_dq is dq and rest == []
     assert _dof_quad_split(object()) == (None, None)
+
+
+def test_dof_planner_fused_quad_path_matches_fallback(monkeypatch):
+    """The TPU-gated planner wiring (quad + importance through
+    dof_quad_eval_pallas) produces the same trajectories as the XLA
+    fallback: monkeypatch the backend gate to 'tpu' and force the kernel
+    into interpret mode so the full planner path runs on CPU."""
+    import stoch_gpmp_tpu.ops.pallas.stencil as st
+    from stoch_gpmp_tpu.costs import CostComposite
+    from stoch_gpmp_tpu.gp.prior import make_gp_prior
+    from stoch_gpmp_tpu.planners import (
+        SamplerModel, StochGPMPState, stoch_gpmp_optimize,
+    )
+
+    dtype = jnp.float32
+    t, n_dof = 128, 14  # d > 8, 128-aligned: the dof auto-gate regime
+    rng = np.random.default_rng(9)
+    start = jnp.asarray(
+        np.concatenate([rng.normal(size=n_dof), np.zeros(n_dof)]), dtype
+    )
+    goals = jnp.asarray(
+        np.concatenate([rng.normal(size=(2, n_dof)),
+                        np.zeros((2, n_dof))], axis=1), dtype
+    )
+    gp = CostGP.create(
+        n_dof, t, start, 0.05,
+        {"sigma_start": 1e-3, "sigma_gp": 0.1}, dtype=dtype,
+    )
+    goal_prior = CostGoalPrior.create(
+        n_dof, t, goals, sigma_goal_prior=1.0, dtype=dtype
+    )
+    cost = CostComposite.create(n_dof, t, [
+        QuadraticCost.from_gp_and_goal_prior(gp, goal_prior, t)
+    ], fk=None)
+    prior = make_gp_prior(
+        n_dof, t, 0.05, start, 1e-3, 0.1, sigma_goal=0.1,
+        goal_states=goals, dtype=dtype,
+    )
+    sampler = SamplerModel.from_prior(prior)
+    means = jnp.repeat(prior.means, 2, axis=0)  # [4, T, 2d]
+    state = StochGPMPState(
+        particle_means=means, key=jax.random.PRNGKey(3)
+    )
+
+    def run():
+        out, _ = stoch_gpmp_optimize(
+            sampler, cost, state, {}, opt_iters=3, num_samples=8,
+            temperature=1.0, step_size=0.3,
+        )
+        return np.asarray(out.particle_means)
+
+    base = run()  # CPU backend: XLA stencil + separate importance
+
+    orig = st.dof_quad_eval_pallas
+    calls = []
+
+    def forced(*a, **k):
+        calls.append(1)
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(st, "dof_quad_eval_pallas", forced)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fused = run()
+    assert calls, "fused path did not engage"
+    np.testing.assert_allclose(fused, base, rtol=1e-4, atol=1e-4)
