@@ -60,26 +60,41 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), sh), tree)
 
 
-def make_sharded_optimize(mesh: Mesh, **static_kwargs):
+def make_sharded_optimize(mesh: Mesh, layout: str = "flat", **static_kwargs):
     """Build a jitted multi-chip optimize: means sharded over ``p``, samples
     over ``(p, s)`` (softmax/weighted-mean reductions over ``s`` ride ICI).
 
+    ``layout='dof'`` shards the dof-factored fast path instead (the d>8 /
+    config-5 layout, ``gp/dof_factored.py``): dof planes stay replicated on
+    their leading axis while particles/samples shard over the mesh —
+    ``[d, P, S, 2T]`` as ``(None, p, s, None)``. Requires a dof-capable
+    problem (the planner raises otherwise); the per-dof sampling matmul runs
+    fully data-parallel and the same softmax/weighted-mean all-reduces ride
+    the ``s`` axis. (The fused Pallas quad kernel needs shard_map under
+    GSPMD; the sharded path keeps the elementwise XLA stencil, which GSPMD
+    partitions trivially.)
+
     Returns ``fn(sampler, cost, state, observation) -> (state, aux)``.
     """
-    sample_spec = NamedSharding(mesh, PartitionSpec("p", "s", None, None))
+    if layout == "dof":
+        x_spec = NamedSharding(mesh, PartitionSpec(None, "p", "s", None))
+        plane_spec = NamedSharding(mesh, PartitionSpec(None, "p", None))
 
-    def shard_samples(x):
-        return jax.lax.with_sharding_constraint(x, sample_spec)
+        def shard_dof(x):
+            spec = x_spec if x.ndim == 4 else plane_spec
+            return jax.lax.with_sharding_constraint(x, spec)
+
+        kwargs = dict(static_kwargs, sample_method="dof", shard_dof=shard_dof)
+    else:
+        sample_spec = NamedSharding(mesh, PartitionSpec("p", "s", None, None))
+
+        def shard_samples(x):
+            return jax.lax.with_sharding_constraint(x, sample_spec)
+
+        kwargs = dict(static_kwargs, shard_samples=shard_samples)
 
     def run(sampler, cost, state, observation):
-        return stoch_gpmp_optimize(
-            sampler,
-            cost,
-            state,
-            observation,
-            shard_samples=shard_samples,
-            **static_kwargs,
-        )
+        return stoch_gpmp_optimize(sampler, cost, state, observation, **kwargs)
 
     out_state_sh = StochGPMPState(
         particle_means=NamedSharding(mesh, PartitionSpec("p", None, None)),

@@ -323,7 +323,7 @@ def _dof_quad_split(cost):
 
 def _stoch_gpmp_optimize_dof(
     sampler, cost, state, observation, *, opt_iters, num_samples,
-    temperature, step_size, collect_metrics=False,
+    temperature, step_size, collect_metrics=False, shard_dof=None,
 ):
     """Optimize in the per-dof factored PLANE-MAJOR layout
     (``gp/dof_factored.py``): means/samples live as ``[P(, S), d, 2T]``
@@ -342,16 +342,23 @@ def _stoch_gpmp_optimize_dof(
     # stencil's shifted elementwise passes plus the x.pu reduce each
     # re-stream the whole batch through HBM (measured ~2.4x iteration
     # regression at config 5 — docs/PERFORMANCE.md round 3).
+    # the Pallas fused path needs shard_map under GSPMD — sharded runs keep
+    # the (elementwise, trivially-partitionable) XLA stencil instead
     dq, rest_costs = (
         _dof_quad_split(cost)
-        if jax.default_backend() == "tpu" else (None, None)
+        if shard_dof is None and jax.default_backend() == "tpu"
+        else (None, None)
     )
 
     def step(mu_planes, key):
         key, sub = jax.random.split(key)
         x, corr = dof.sample_planes(sub, mu_planes, num_samples)  # [d,P,S,2T]
+        if shard_dof is not None:
+            x, corr = shard_dof(x), shard_dof(corr)
         x_flat = x.reshape(d2 // 2, p * num_samples, 2 * t)
         pu = dof.matvec_planes(mu_planes)  # [d, P, 2T] (exact stencil)
+        if shard_dof is not None:
+            pu = shard_dof(pu)
         fused = None
         if dq is not None:
             from stoch_gpmp_tpu.ops.pallas.stencil import dof_quad_eval_pallas
@@ -379,6 +386,8 @@ def _stoch_gpmp_optimize_dof(
             )
         weights = jax.nn.softmax(-costs / temperature, axis=1)
         grad = jnp.einsum("ps,dpsk->dpk", weights, corr)
+        if shard_dof is not None:
+            grad = shard_dof(grad)
         new_mu = mu_planes + step_size * grad
         return new_mu, key, costs, weights, grad, x
 
@@ -431,6 +440,7 @@ def stoch_gpmp_optimize(
     shard_samples=None,
     sample_dtype=None,
     collect_metrics: bool = False,
+    shard_dof=None,
 ) -> tuple[StochGPMPState, StochGPMPAux] | tuple[StochGPMPState, StochGPMPAux, IterMetrics]:
     """Run ``opt_iters`` updates under ``lax.scan``; returns the final state
     and the LAST iteration's aux (matching the reference's return of the
@@ -480,12 +490,18 @@ def stoch_gpmp_optimize(
     # at 36 us/iter on the flat stack — docs/PERFORMANCE.md).
     dof_eligible = (
         sampler.dof is not None
-        and shard_samples is None
         and sample_dtype is None
         and getattr(cost, "supports_dof_planes", lambda: False)()
         and (
-            sample_method == "dof"
-            or (sample_method == "dense" and d > 8 and t % 128 == 0)
+            (shard_samples is None and (
+                sample_method == "dof"
+                or (sample_method == "dense" and d > 8 and t % 128 == 0)))
+            # multi-chip dof layout: an explicit dof-layout constraint
+            # (parallel/sharding.py make_sharded_optimize(layout='dof'))
+            # opts in; the legacy shard_samples constraint closes over the
+            # [P, S, T, d] layout and must NOT reach the dof planes
+            or (shard_dof is not None and shard_samples is None
+                and sample_method == "dof")
         )
     )
     if dof_eligible:
@@ -493,6 +509,13 @@ def stoch_gpmp_optimize(
             sampler, cost, state, observation, opt_iters=opt_iters,
             num_samples=num_samples, temperature=temperature,
             step_size=step_size, collect_metrics=collect_metrics,
+            shard_dof=shard_dof,
+        )
+    if shard_dof is not None:
+        raise ValueError(
+            "shard_dof requires the dof-factored path: sample_method='dof', "
+            "a sampler with .dof, a dof-capable cost stack, and no "
+            "shard_samples/sample_dtype"
         )
 
     def body(carry, _):

@@ -157,3 +157,65 @@ def test_sharded_long_horizon_pscan_matches_single_device():
         rtol=1e-5, atol=1e-6,
     )
     assert len(s2.particle_means.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_dof_layout_matches_single_device():
+    """make_sharded_optimize(layout='dof'): the dof-factored fast path
+    (d=14 Panda regime) shards particles/samples over the mesh and matches
+    the single-device dof path."""
+    from stoch_gpmp_tpu.costs.quadratic import QuadraticCost
+
+    n_dof, t, dt = 14, 128, 0.05
+    dtype = jnp.float32
+    rng = np.random.default_rng(2)
+    start = jnp.asarray(
+        np.concatenate([rng.normal(size=n_dof), np.zeros(n_dof)]), dtype
+    )
+    goals = jnp.asarray(
+        np.concatenate([rng.normal(size=(4, n_dof)), np.zeros((4, n_dof))],
+                       axis=1), dtype
+    )
+    gp = CostGP.create(
+        n_dof, t, start, dt,
+        {"sigma_start": 1e-3, "sigma_gp": 0.1}, dtype=dtype,
+    )
+    goal_prior = CostGoalPrior.create(
+        n_dof, t, goals, sigma_goal_prior=1.0, dtype=dtype
+    )
+    cost = CostComposite.create(
+        n_dof, t, [QuadraticCost.from_gp_and_goal_prior(gp, goal_prior, t)],
+        fk=None,
+    )
+    prior = make_gp_prior(
+        n_dof, t, dt, start, 1e-3, 0.1, sigma_goal=0.1, goal_states=goals,
+        dtype=dtype,
+    )
+    sampler = SamplerModel.from_prior(prior)
+    means = jnp.repeat(prior.means, 2, axis=0)  # P=8
+    state = StochGPMPState(particle_means=means, key=jax.random.PRNGKey(1))
+    kwargs = dict(opt_iters=3, num_samples=4, temperature=1.0, step_size=0.3)
+
+    s1, aux1 = jax.jit(
+        lambda sa, c, st, ob: stoch_gpmp_optimize(
+            sa, c, st, ob, sample_method="dof", **kwargs
+        )
+    )(sampler, cost, state, {})
+
+    mesh = make_mesh(8, axis_shape=(4, 2))
+    sharded = make_sharded_optimize(mesh, layout="dof", **kwargs)
+    s2, aux2 = sharded(sampler, cost, shard_planner_state(mesh, state), {})
+
+    np.testing.assert_allclose(
+        np.asarray(s1.particle_means), np.asarray(s2.particle_means),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux1.costs), np.asarray(aux2.costs), rtol=1e-4, atol=1e-4
+    )
+    assert len(s2.particle_means.sharding.device_set) == 8
+
+    # a non-dof-capable problem must fail loudly, not silently unshard
+    sampler_nodof = sampler.replace(dof=None)
+    with pytest.raises(ValueError, match="shard_dof"):
+        sharded(sampler_nodof, cost, shard_planner_state(mesh, state), {})
