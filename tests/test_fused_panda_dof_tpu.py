@@ -129,6 +129,52 @@ def test_fused_dof_cost_parity_rng_free():
     )
 
 
+def test_stencil_eval_kernel_on_hardware():
+    """``dof_quad_eval_pallas`` compiled by Mosaic (non-interpret) equals the
+    float64 HOST oracle at the reference's Panda sigmas — the XLA-path
+    planner's config-5 hot quadratic (in-kernel lane rolls, masked residual
+    quadratics, [B, d] energy table). Interpret-mode parity lives in
+    tests/test_dof_factored.py; this is the on-chip record."""
+    from stoch_gpmp_tpu.gp.dof_factored import to_dof_planes
+    from stoch_gpmp_tpu.ops.pallas.stencil import dof_quad_eval_pallas
+
+    sampler, cost, state, obs, s = _problem()
+    quad, _ = cost.costs
+    dq = quad.dof_form
+    means = state.particle_means  # [P, T, 2d]
+    p = means.shape[0]
+    rng = np.random.default_rng(3)
+    # planner regime: tiny per-sample spreads around each particle mean on a
+    # ~2e11-weight quadratic (the cancellation the stencil form avoids)
+    trajs = (
+        np.repeat(np.asarray(means, np.float64), s, axis=0)
+        + rng.normal(size=(p * s,) + means.shape[1:]) * 1e-3
+    )
+    xp = to_dof_planes(jnp.asarray(trajs, jnp.float32))  # [d, P*s, 2T]
+
+    pal = jax.jit(lambda x: dof_quad_eval_pallas(dq, x))(xp)
+    assert pal is not None
+    oracle = _host_f64_quad(dq, np.asarray(xp, np.float64))
+    np.testing.assert_allclose(np.asarray(pal), oracle, rtol=1e-3)
+
+    # pu-fused form (the planner's importance term rides the same read)
+    mu_planes = to_dof_planes(means)
+    pu = sampler.dof.matvec_planes(mu_planes)  # [d, P, 2T]
+    tau = 0.25
+    fused = jax.jit(
+        lambda x, u: dof_quad_eval_pallas(
+            dq, x, pu=u, temperature=tau, num_samples=s
+        )
+    )(xp, pu)
+    assert fused is not None
+    # importance rides each SAMPLE row against its particle's pu
+    x_ps = np.asarray(xp, np.float64).reshape(-1, p, s, xp.shape[-1])
+    imp = np.einsum("dpsk,dpk->ps", x_ps, np.asarray(pu, np.float64))
+    np.testing.assert_allclose(
+        np.asarray(fused), oracle + tau * imp.reshape(-1), rtol=1e-3
+    )
+
+
 def test_fused_dof_descends_like_xla_path():
     from stoch_gpmp_tpu.gp.dof_factored import from_dof_planes, to_dof_planes
     from stoch_gpmp_tpu.ops.pallas.panda_step_dof import (
