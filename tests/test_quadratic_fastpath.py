@@ -143,3 +143,41 @@ def test_dense_quad_from_dof_matches_quadratic_cost():
         np.asarray(b), np.asarray(quad.b, dtype=np.float32),
         rtol=2e-6, atol=1e-8
     )
+
+
+def test_stencil_gate_decided_at_construction():
+    """The stencil-vs-dense verdict (trace-safe ``stencil_required``, set by
+    ``needs_stencil`` at construction) picks the residual form at the
+    reference's Panda sigmas (weights ~2e11 — bf16-MXU-unsafe) and keeps the
+    dense matmul at planar conditioning (~1.5e8); the two branches are the
+    same quadratic (exact in f64)."""
+    from stoch_gpmp_tpu.ops.pallas.stencil import STENCIL_CONDITION_THRESHOLD
+
+    rng = np.random.default_rng(7)
+
+    def build(n_dof, sigmas, dtype):
+        d = 2 * n_dof
+        start = jnp.asarray(rng.standard_normal(d), dtype)
+        goals = jnp.asarray(rng.standard_normal((2, d)), dtype)
+        gp = CostGP.create(n_dof, 16, start, 0.05, sigmas, dtype=dtype)
+        gpr = CostGoalPrior.create(
+            n_dof, 16, goals, sigma_goal_prior=20.0, dtype=dtype
+        )
+        return QuadraticCost.from_gp_and_goal_prior(gp, gpr, 16)
+
+    panda_sig = {"sigma_start": 1e-4, "sigma_gp": 7e-4}
+    planar_sig = {"sigma_start": 1e-3, "sigma_gp": 0.7}
+    assert build(7, panda_sig, jnp.float32).stencil_required
+    assert not build(2, planar_sig, jnp.float32).stencil_required
+    # threshold sanity: planar's max weight really is below the gate
+    q = build(2, planar_sig, jnp.float32).dof_form
+    assert np.abs(np.asarray(q.k_s2)).max() < STENCIL_CONDITION_THRESHOLD
+
+    # branch equivalence where both are exact (f64): force each branch
+    fused = build(7, panda_sig, jnp.float64)
+    trajs = jnp.asarray(rng.standard_normal((6, 16, 14)))
+    stencil = np.asarray(fused._eval_stencil(trajs))
+    dense = np.asarray(fused.replace(stencil_required=False).eval(trajs))
+    np.testing.assert_allclose(stencil, dense, rtol=1e-9)
+    # and eval() routes through the gate
+    np.testing.assert_allclose(np.asarray(fused.eval(trajs)), stencil, rtol=0)
