@@ -31,20 +31,25 @@ def _ensure_live_backend():
     post-registration failure modes.)"""
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         return False
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=420, check=True, capture_output=True,
-        )
-        return True
-    except Exception:
-        pypath = os.pathsep.join(
-            p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
-            if p and "axon" not in p
-        )
-        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=pypath,
-                   STOCH_GPMP_BENCH_FALLBACK="1")
-        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    # Two spaced probes (VERDICT r3 #9): the tunnel dies and comes back; a
+    # single failed probe turned round 3's headline into a CPU number.
+    for attempt in range(2):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=420, check=True, capture_output=True,
+            )
+            return True
+        except Exception:
+            if attempt == 0:
+                time.sleep(120)
+    pypath = os.pathsep.join(
+        p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=pypath,
+               STOCH_GPMP_BENCH_FALLBACK="1")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
 _ensure_live_backend()
