@@ -153,7 +153,7 @@ def main():
             opt_iters=min(chunk, args.iters - i), observation=obs
         )
         print(
-            f"iter {i + chunk:4d}/{args.iters} | chunk {time.time() - t0:.3f}s "
+            f"iter {min(i + chunk, args.iters):4d}/{args.iters} | chunk {time.time() - t0:.3f}s "
             f"| total {time.time() - t_start:.2f}s | mean cost {float(np.asarray(costs).mean()):.1f}"
         )
 

@@ -126,7 +126,10 @@ def main():
     for i in range(0, args.iters, chunk):
         t0 = time.time()
         _, _, _, _, costs, _ = planner.optimize(opt_iters=min(chunk, args.iters - i))
-        print_info(i + chunk, args.iters, t0, start_time, np.asarray(costs))
+        print_info(
+            min(i + chunk, args.iters), args.iters, t0, start_time,
+            np.asarray(costs),
+        )
         if record:
             pos, _ = planner.get_recent_samples()
             traj_history.append(

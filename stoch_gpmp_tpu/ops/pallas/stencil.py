@@ -130,12 +130,16 @@ def needs_stencil(dof_quad) -> bool:
     ) > STENCIL_CONDITION_THRESHOLD
 
 
-def _dof_quad_kernel(x_ref, anch_ref, *rest, traj_len, quad_stencil,
+def _dof_quad_kernel(x_ref, anch_ref, w_ref, *rest, traj_len, dt,
                      temperature=None, num_samples=None):
     """One (batch-block, dof) grid step of :func:`dof_quad_eval_pallas`:
     the full stencil energy of a ``[Bb, 2T]`` tile in ONE pass over its
     rows. ``anch_ref [1, Bb, 4]`` carries the per-row anchor values
-    (start pos/vel, goal pos/vel) for this dof. With ``temperature`` set,
+    (start pos/vel, goal pos/vel) for this dof; ``w_ref [12]`` (SMEM) the
+    raveled ``q_i2 | k_s2 | k_g2`` stencil weights — SMEM scalars rather
+    than baked Python constants so a TRACED ``DofQuadraticCost`` (the cost
+    is a jit argument in every planner/benchmark entry point) reaches the
+    kernel without a concretization error. With ``temperature`` set,
     ``rest`` leads with ``pu_ref [1, Bb/S, 2T]`` (the per-particle
     ``Sigma^{-1} mu`` planes) and the planner's importance term
     ``tau * x . pu`` fuses into the same pass."""
@@ -144,10 +148,9 @@ def _dof_quad_kernel(x_ref, anch_ref, *rest, traj_len, quad_stencil,
     else:
         (out_ref,) = rest
     t = traj_len
-    q_i2, k_s2, k_g2, dt = quad_stencil
-    q11, q12, q22 = float(q_i2[0, 0]), float(q_i2[0, 1]), float(q_i2[1, 1])
-    ks11, ks12, ks22 = float(k_s2[0, 0]), float(k_s2[0, 1]), float(k_s2[1, 1])
-    kg11, kg12, kg22 = float(k_g2[0, 0]), float(k_g2[0, 1]), float(k_g2[1, 1])
+    q11, q12, q22 = w_ref[0], w_ref[1], w_ref[3]
+    ks11, ks12, ks22 = w_ref[4], w_ref[5], w_ref[7]
+    kg11, kg12, kg22 = w_ref[8], w_ref[9], w_ref[11]
 
     x = x_ref[0]
     p_ = x[:, :t]
@@ -182,8 +185,33 @@ def _dof_quad_kernel(x_ref, anch_ref, *rest, traj_len, quad_stencil,
     out_ref[:] = e
 
 
+def dof_anchor_rows(dof_quad, b):
+    """Per-(dof, row) anchor values ``[d, B, 4]`` (start pos/vel per dof,
+    goal pos/vel per dof) for a goal-major batch of ``B`` rows. Loop
+    invariant — XLA hoists it out of the planner scan."""
+    d = dof_quad.n_dof
+    ppg_rows = b // dof_quad.num_goals
+    s_rows = jnp.broadcast_to(dof_quad.s_pd[:, None, :], (d, b, 2))
+    g_rows = jnp.repeat(
+        jnp.transpose(dof_quad.g_pd, (1, 0, 2)), ppg_rows, axis=1
+    )  # [d, B, 2]
+    return jnp.concatenate([s_rows, g_rows], axis=-1).astype(jnp.float32)
+
+
+def _pick_batch_block(b: int, s: int) -> int | None:
+    """Largest batch block that divides ``b``, is a whole number of
+    ``s``-sample groups, and tiles cleanly (8-aligned, or the full batch —
+    a block equal to the array dims is always legal)."""
+    for c in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if b % c == 0 and c % s == 0:
+            return c
+    if b % s == 0 and b <= 2048:
+        return b
+    return None
+
+
 def dof_quad_eval_pallas(dof_quad, x_planes, *, pu=None, temperature=None,
-                         num_samples=None, interpret=None):
+                         num_samples=None, anchors=None, interpret=None):
     """Single-pass Pallas evaluation of ``DofQuadraticCost`` on dof planes
     ``x_planes [d, B, 2T]`` (goal-major batch) -> ``[B]`` costs.
 
@@ -201,37 +229,40 @@ def dof_quad_eval_pallas(dof_quad, x_planes, *, pu=None, temperature=None,
     XLA) fuses into the same read; rows must be sample-minor per particle
     (``B = P * num_samples``, the dof path's layout).
 
+    ``anchors`` overrides the internally-built goal-major anchor rows with
+    an explicit ``[d, B, 4]`` (used under ``shard_map``, where a shard's
+    rows are a particle slice and the goal-major reconstruction from the
+    LOCAL batch size would be wrong).
+
+    Safe to call with a TRACED ``dof_quad`` (a jit argument): the stencil
+    weights ride into the kernel as SMEM scalars, not baked constants.
+
     Requires ``traj_len % 128 == 0`` (clean lane slice of the pos/vel
     halves) and a batch divisible by 8; returns None if ineligible so the
     caller can fall back to the XLA stencil."""
     d, b, t2 = x_planes.shape
     t = dof_quad.traj_len
-    if (t % 128 != 0 or dof_quad.q_i2 is None or b % dof_quad.num_goals
+    if (t % 128 != 0 or dof_quad.q_i2 is None
+            or (anchors is None and b % dof_quad.num_goals)
             or x_planes.dtype != jnp.float32):
         return None
     s = num_samples if pu is not None else 1
     if pu is not None and (temperature is None or s is None or b % s):
         return None
-    bb = next((c for c in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
-               if b % c == 0 and c % s == 0), None)
+    bb = _pick_batch_block(b, s)
     if bb is None:
         return None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # per-(dof, row) anchor values [d, B, 4]: start pos/vel (per dof),
-    # goal pos/vel (per dof, goal-major rows). Loop-invariant — XLA hoists
-    # it out of the planner scan.
-    ppg_rows = b // dof_quad.num_goals
-    s_rows = jnp.broadcast_to(dof_quad.s_pd[:, None, :], (d, b, 2))
-    g_rows = jnp.repeat(
-        jnp.transpose(dof_quad.g_pd, (1, 0, 2)), ppg_rows, axis=1
-    )  # [d, B, 2]
-    anch = jnp.concatenate([s_rows, g_rows], axis=-1).astype(jnp.float32)
+    anch = dof_anchor_rows(dof_quad, b) if anchors is None else anchors
+    weights = jnp.concatenate([
+        dof_quad.q_i2.reshape(-1), dof_quad.k_s2.reshape(-1),
+        dof_quad.k_g2.reshape(-1),
+    ]).astype(jnp.float32)  # [12] -> SMEM
 
     kernel = functools.partial(
-        _dof_quad_kernel, traj_len=t,
-        quad_stencil=quad_stencil_consts(dof_quad),
+        _dof_quad_kernel, traj_len=t, dt=float(dof_quad.dt),
         temperature=temperature if pu is not None else None,
         num_samples=s if pu is not None else None,
     )
@@ -240,8 +271,9 @@ def dof_quad_eval_pallas(dof_quad, x_planes, *, pu=None, temperature=None,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bb, 4), lambda i, di: (di, i, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    args = [x_planes, anch]
+    args = [x_planes, anch, weights]
     if pu is not None:
         in_specs.append(
             pl.BlockSpec((1, bb // s, t2), lambda i, di: (di, i, 0),

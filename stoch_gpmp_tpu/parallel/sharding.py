@@ -70,9 +70,10 @@ def make_sharded_optimize(mesh: Mesh, layout: str = "flat", **static_kwargs):
     ``[d, P, S, 2T]`` as ``(None, p, s, None)``. Requires a dof-capable
     problem (the planner raises otherwise); the per-dof sampling matmul runs
     fully data-parallel and the same softmax/weighted-mean all-reduces ride
-    the ``s`` axis. (The fused Pallas quad kernel needs shard_map under
-    GSPMD; the sharded path keeps the elementwise XLA stencil, which GSPMD
-    partitions trivially.)
+    the ``s`` axis. The fused quadratic+importance Pallas kernel
+    (``ops/pallas/stencil.py``) runs per-shard under ``jax.shard_map`` —
+    it is per-row independent, so no collective crosses it; only the
+    softmax reduction over ``s`` rides ICI, outside the kernel.
 
     Returns ``fn(sampler, cost, state, observation) -> (state, aux)``.
     """
@@ -84,7 +85,10 @@ def make_sharded_optimize(mesh: Mesh, layout: str = "flat", **static_kwargs):
             spec = x_spec if x.ndim == 4 else plane_spec
             return jax.lax.with_sharding_constraint(x, spec)
 
-        kwargs = dict(static_kwargs, sample_method="dof", shard_dof=shard_dof)
+        kwargs = dict(
+            static_kwargs, sample_method="dof", shard_dof=shard_dof,
+            shard_dof_quad=_make_shard_dof_quad(mesh),
+        )
     else:
         sample_spec = NamedSharding(mesh, PartitionSpec("p", "s", None, None))
 
@@ -101,6 +105,63 @@ def make_sharded_optimize(mesh: Mesh, layout: str = "flat", **static_kwargs):
         key=NamedSharding(mesh, PartitionSpec()),
     )
     return jax.jit(run, out_shardings=(out_state_sh, None))
+
+
+def _make_shard_dof_quad(mesh: Mesh):
+    """Per-shard fused quadratic+importance eval for the sharded dof path.
+
+    Returns ``f(dq, x [d, P, S, 2T], pu [d, P, 2T], temperature) ->
+    [P, S] | None``: the single-pass Pallas stencil kernel
+    (``ops/pallas/stencil.py dof_quad_eval_pallas``) applied to each
+    shard's local rows via ``jax.shard_map``. The kernel is per-row
+    independent, so shards need no collectives; anchor rows are built
+    GLOBALLY per particle and sharded alongside (a shard's rows are a
+    particle slice — the kernel's goal-major reconstruction from the local
+    batch size would assign wrong goals). Returns None (trace-time) when a
+    shard's local shapes are kernel-ineligible; the planner then keeps the
+    XLA stencil, which GSPMD partitions trivially."""
+    from stoch_gpmp_tpu.ops.pallas.stencil import (
+        _pick_batch_block,
+        dof_anchor_rows,
+        dof_quad_eval_pallas,
+    )
+
+    n_p = mesh.shape["p"]
+    n_s = mesh.shape["s"]
+
+    def shard_dof_quad(dq, x, pu, temperature):
+        d, p, s, t2 = x.shape
+        if (dq.q_i2 is None or p % n_p or s % n_s or dq.traj_len % 128
+                or x.dtype != jnp.float32):
+            return None
+        s_loc = s // n_s
+        if _pick_batch_block((p // n_p) * s_loc, s_loc) is None:
+            return None
+        anch = dof_anchor_rows(dq, p)  # [d, P, 4], goal-major particles
+
+        def body(dq_l, x_l, pu_l, anch_l):
+            d_, p_l, s_l, _ = x_l.shape
+            out = dof_quad_eval_pallas(
+                dq_l, x_l.reshape(d_, p_l * s_l, t2), pu=pu_l,
+                temperature=temperature, num_samples=s_l,
+                anchors=jnp.repeat(anch_l, s_l, axis=1),
+            )
+            assert out is not None  # eligibility pre-checked above
+            return out.reshape(p_l, s_l)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(
+                PartitionSpec(),
+                PartitionSpec(None, "p", "s", None),
+                PartitionSpec(None, "p", None),
+                PartitionSpec(None, "p", None),
+            ),
+            out_specs=PartitionSpec("p", "s"),
+            check_vma=False,
+        )(dq, x, pu, anch)
+
+    return shard_dof_quad
 
 
 def make_sharded_gpmp_optimize(mesh: Mesh, **static_kwargs):

@@ -324,6 +324,7 @@ def _dof_quad_split(cost):
 def _stoch_gpmp_optimize_dof(
     sampler, cost, state, observation, *, opt_iters, num_samples,
     temperature, step_size, collect_metrics=False, shard_dof=None,
+    shard_dof_quad=None,
 ):
     """Optimize in the per-dof factored PLANE-MAJOR layout
     (``gp/dof_factored.py``): means/samples live as ``[P(, S), d, 2T]``
@@ -341,12 +342,14 @@ def _stoch_gpmp_optimize_dof(
     # [d, N, 2T] sample batch (ops/pallas/stencil.py): left in XLA, the
     # stencil's shifted elementwise passes plus the x.pu reduce each
     # re-stream the whole batch through HBM (measured ~2.4x iteration
-    # regression at config 5 — docs/PERFORMANCE.md round 3).
-    # the Pallas fused path needs shard_map under GSPMD — sharded runs keep
-    # the (elementwise, trivially-partitionable) XLA stencil instead
+    # regression at config 5 — docs/PERFORMANCE.md round 3). Sharded runs
+    # reach the same kernel per-shard via shard_map (``shard_dof_quad``,
+    # built in parallel/sharding.py — the kernel is per-row independent,
+    # so GSPMD's softmax all-reduce over ``s`` stays outside it).
     dq, rest_costs = (
         _dof_quad_split(cost)
-        if shard_dof is None and jax.default_backend() == "tpu"
+        if (shard_dof_quad is not None
+            or (shard_dof is None and jax.default_backend() == "tpu"))
         else (None, None)
     )
 
@@ -360,7 +363,10 @@ def _stoch_gpmp_optimize_dof(
         if shard_dof is not None:
             pu = shard_dof(pu)
         fused = None
-        if dq is not None:
+        if dq is not None and shard_dof_quad is not None:
+            f2 = shard_dof_quad(dq, x, pu, temperature)  # [P, S] | None
+            fused = None if f2 is None else f2.reshape(p * num_samples)
+        elif dq is not None:
             from stoch_gpmp_tpu.ops.pallas.stencil import dof_quad_eval_pallas
 
             fused = dof_quad_eval_pallas(
@@ -441,6 +447,7 @@ def stoch_gpmp_optimize(
     sample_dtype=None,
     collect_metrics: bool = False,
     shard_dof=None,
+    shard_dof_quad=None,
 ) -> tuple[StochGPMPState, StochGPMPAux] | tuple[StochGPMPState, StochGPMPAux, IterMetrics]:
     """Run ``opt_iters`` updates under ``lax.scan``; returns the final state
     and the LAST iteration's aux (matching the reference's return of the
@@ -509,7 +516,7 @@ def stoch_gpmp_optimize(
             sampler, cost, state, observation, opt_iters=opt_iters,
             num_samples=num_samples, temperature=temperature,
             step_size=step_size, collect_metrics=collect_metrics,
-            shard_dof=shard_dof,
+            shard_dof=shard_dof, shard_dof_quad=shard_dof_quad,
         )
     if shard_dof is not None:
         raise ValueError(

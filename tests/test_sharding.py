@@ -219,3 +219,56 @@ def test_sharded_dof_layout_matches_single_device():
     sampler_nodof = sampler.replace(dof=None)
     with pytest.raises(ValueError, match="shard_dof"):
         sharded(sampler_nodof, cost, shard_planner_state(mesh, state), {})
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_shard_map_dof_quad_kernel_engages_and_matches():
+    """The sharded dof path's fused quadratic runs the Pallas stencil
+    kernel PER SHARD via shard_map (round-4 fix of the round-3 fallback:
+    sharded runs used to keep the unfused XLA stencil, the form measured
+    2.4x slower at config-5 scale). Checks (a) the wrapper engages (not
+    None) on a kernel-eligible problem, (b) it equals the XLA stencil +
+    importance term, and (c) it trace-time-declines on an ineligible
+    horizon so the planner can fall back."""
+    from stoch_gpmp_tpu.costs.quadratic import QuadraticCost
+    from stoch_gpmp_tpu.parallel.sharding import _make_shard_dof_quad
+
+    n_dof, t, dt = 14, 128, 0.05
+    rng = np.random.default_rng(7)
+    start = jnp.asarray(
+        np.concatenate([rng.normal(size=n_dof), np.zeros(n_dof)]), jnp.float32
+    )
+    goals = jnp.asarray(
+        np.concatenate([rng.normal(size=(4, n_dof)), np.zeros((4, n_dof))],
+                       axis=1), jnp.float32
+    )
+    gp = CostGP.create(
+        n_dof, t, start, dt, {"sigma_start": 1e-3, "sigma_gp": 0.1},
+        dtype=jnp.float32,
+    )
+    goal_prior = CostGoalPrior.create(
+        n_dof, t, goals, sigma_goal_prior=1.0, dtype=jnp.float32
+    )
+    dq = QuadraticCost.from_gp_and_goal_prior(gp, goal_prior, t).dof_form
+
+    p, s = 8, 4
+    x = jnp.asarray(
+        rng.normal(size=(n_dof, p, s, 2 * t)), jnp.float32
+    )
+    pu = jnp.asarray(rng.normal(size=(n_dof, p, 2 * t)), jnp.float32)
+    mesh = make_mesh(8, axis_shape=(4, 2))
+    f = _make_shard_dof_quad(mesh)
+    out = f(dq, x, pu, 0.7)
+    assert out is not None and out.shape == (p, s)
+    ref = np.asarray(
+        dq.eval_dof_planes(x.reshape(n_dof, p * s, 2 * t)).reshape(p, s)
+        + 0.7 * jnp.sum(x * pu[:, :, None, :], axis=(0, -1))
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=1e-3)
+    # inside jit with dq TRACED (every benchmark jits the cost as an arg;
+    # the stencil weights must ride into the kernel as SMEM scalars)
+    out_j = jax.jit(lambda dq_, x_, pu_: f(dq_, x_, pu_, 0.7))(dq, x, pu)
+    np.testing.assert_allclose(np.asarray(out_j), ref, rtol=2e-5, atol=1e-3)
+
+    # ineligible horizon (t % 128 != 0) -> trace-time None, no crash
+    assert f(dq.replace(traj_len=96), x, pu, 0.7) is None
