@@ -5,9 +5,11 @@ sphere spawn/bounce helpers) without the PyBullet engine: the arm tracks
 position targets either kinematically under its velocity limits (default) or
 through the native rigid-body dynamics (``physics="dynamics"``: computed-
 torque PD motor + RNEA forward dynamics, the analogue of bullet's
-POSITION_CONTROL constraint motor), spheres integrate and bounce inside
-their box, and the contact / goal / reward / trajectory-buffer semantics
-mirror the reference:
+POSITION_CONTROL constraint motor), spheres in the ``motion_obstacles``
+extension mode integrate and bounce inside their box (the reference's
+dynamic path crashes and its spheres are static bullet bodies — see
+docs/COMPONENT_MAP.md "Simulated-world fidelity audit"), and the contact /
+goal / reward / trajectory-buffer semantics mirror the reference:
 
 - collision = floor contact OR self-collision OR obstacle contact
   (reference ``panda.py:453-481``; here via the native distance fields);
@@ -413,14 +415,24 @@ class PandaEnv:
 
     # ------------------------------------------------------------------ #
     def _resolve_obstacle_contacts(self):
-        """One-way robot->obstacle coupling for DYNAMIC spheres: bullet's
-        ``stepSimulation`` (reference ``panda.py:443``) resolves arm-sphere
-        penetration physically — the position-controlled arm is effectively
-        infinitely stiff, so a penetrating free sphere gets pushed out along
-        the contact normal with its approaching velocity removed (inelastic).
-        Static spheres (role 0) don't move in bullet either and are left
-        alone. The contact FLAG semantics are unchanged (contact still ends
-        the episode, reference ``panda.py:494``)."""
+        """Keep DYNAMIC spheres from interpenetrating the arm: a penetrating
+        sphere is pushed out along the contact normal with its approaching
+        velocity removed (inelastic vs an effectively infinitely-stiff
+        position-controlled arm).
+
+        This applies only to the moving-obstacle EXTENSION mode
+        (``motion_obstacles != 0``), which has no runnable reference
+        counterpart to be parity with: the reference's dynamic path raises
+        ``AttributeError`` (``panda.py:437`` reads undefined
+        ``self.shift``/``self.order``), and its spheres are static bullet
+        bodies regardless (``useFixedBase=True`` single-link URDF,
+        ``objects.py:171-179`` — ``stepSimulation`` never moves a mass-0
+        body, so no contact impulse can reach a sphere; see
+        docs/COMPONENT_MAP.md "Simulated-world fidelity audit"). In the
+        reference-parity regime (``motion_obstacles == 0``, the closed-loop
+        success suite) this method is a structural no-op — no role-1
+        spheres exist. Contact FLAG semantics are unchanged (contact still
+        ends the episode, reference ``panda.py:494``)."""
         dyn = [s for s in self.spheres if s.role == 1]
         if not dyn:
             return

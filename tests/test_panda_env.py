@@ -308,10 +308,12 @@ def test_mesh_sphere_contact_model():
 
 
 def test_dynamic_sphere_pushed_out_of_arm():
-    """A dynamic sphere penetrating the arm volume is resolved physically:
-    pushed out along the contact normal with its approach velocity removed
-    (the native analogue of bullet's stepSimulation contact response,
-    reference panda.py:443); a static sphere is left untouched."""
+    """In the moving-obstacle EXTENSION mode, a sphere penetrating the arm
+    volume is resolved: pushed out along the contact normal with its
+    approach velocity removed; a static sphere is left untouched. (No
+    bullet-parity claim — the reference's dynamic path crashes and its
+    spheres are static bullet bodies; docs/COMPONENT_MAP.md fidelity
+    audit.)"""
     env = PandaEnv(num_obst=1, seed=0, motion_obstacles=0)
     lp = env.panda.link_poses()
     cw, rw, _ = env._world_collision_spheres(lp)
@@ -336,3 +338,23 @@ def test_dynamic_sphere_pushed_out_of_arm():
     n = (s.base_position - cw[probe])
     n = n / np.linalg.norm(n)
     assert np.dot(s.base_linear_velocity, n) >= -1e-9
+
+
+def test_reference_parity_regime_has_no_sphere_motion():
+    """The reference-parity regime (``motion_obstacles=0`` — the default,
+    and what the reference actually RUNS: its dynamic path raises
+    AttributeError at panda.py:437 and its spheres are useFixedBase bullet
+    bodies stepSimulation never moves) must have exactly zero sphere
+    motion: positions bit-identical across steps and the contact resolver
+    a structural no-op. This is the regime the 25-seed closed-loop
+    success suite measures 25/25 vs the actual reference planner in."""
+    env = PandaEnv(num_obst=3, seed=11, motion_obstacles=0)
+    env.reset()
+    assert all(s.role == 0 for s in env.spheres)
+    pos0 = [s.base_position.copy() for s in env.spheres]
+    vel0 = [np.asarray(s.base_linear_velocity).copy() for s in env.spheres]
+    for _ in range(5):
+        env.step(env.panda.q + 0.01)
+    for s, p0, v0 in zip(env.spheres, pos0, vel0):
+        np.testing.assert_array_equal(s.base_position, p0)
+        np.testing.assert_array_equal(np.asarray(s.base_linear_velocity), v0)
