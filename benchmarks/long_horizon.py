@@ -116,6 +116,73 @@ def solver_bench(t, n_samples=480, iters=50, chunks=4):
     return out
 
 
+def planar_dof_bench(t, with_obstacles, iters=50, chunks=3):
+    """d<=8 long-horizon A/B (VERDICT r3 next #7): the ``[2T, 2T]`` dof
+    dense-apply path (``sample_method='dof'``) vs the pscan plane path (the
+    current d<=8 auto-gate winner) on the SAME planar workload. The dof side
+    replaces CostGP+CostGoalPrior with the exactly-equal fused quadratic
+    (its dof form carries the stencil), and the collision field evaluates on
+    the dof position planes directly (``CostCollision.eval_dof_planes``).
+    Requires ``2T <= 2048`` (the dof factor isn't built beyond)."""
+    from stoch_gpmp_tpu.costs import (
+        CostCollision, CostComposite, CostGP, CostGoalPrior,
+    )
+    from stoch_gpmp_tpu.costs.fields import RasterPrimitive2DField
+    from stoch_gpmp_tpu.costs.quadratic import QuadraticCost
+    from stoch_gpmp_tpu.envs import generate_obstacle_map
+    from stoch_gpmp_tpu.gp.prior import make_gp_prior
+    from stoch_gpmp_tpu.planners import (
+        SamplerModel, StochGPMPState, stoch_gpmp_optimize,
+    )
+
+    dtype = jnp.float32
+    start = jnp.asarray([-9.0, -9.0, 0, 0], dtype)
+    goals = jnp.asarray([[9.0, 6.0, 0, 0]], dtype)
+    gp = CostGP.create(2, t, start, 0.02,
+                       {"sigma_start": 1e-3, "sigma_gp": 0.1}, dtype=dtype)
+    goal_prior = CostGoalPrior.create(2, t, goals, sigma_goal_prior=1e-3,
+                                      dtype=dtype)
+    costs = [QuadraticCost.from_gp_and_goal_prior(gp, goal_prior, t)]
+    if with_obstacles:
+        obst_map, obst_list = generate_obstacle_map(
+            map_dim=(20, 20), cell_size=0.1, random_gen=True, num_obst=15,
+            rand_limits=[[-7.5, 7.5]] * 2, rand_rect_shape=[2, 2], rng=0,
+            dtype=dtype,
+        )
+        costs.append(CostCollision.create(
+            2, t,
+            RasterPrimitive2DField.from_map(obst_map, obst_list,
+                                            use_pallas=False),
+            sigma_coll=1e-5,
+        ))
+    cost = CostComposite.create(2, t, costs)
+    prior = make_gp_prior(2, t, 0.02, start, 1e-3, 3.0, sigma_goal=1e-3,
+                          goal_states=goals, dtype=dtype,
+                          materialize_dense=False)
+    sampler = SamplerModel.from_prior(prior)
+    state = StochGPMPState(
+        particle_means=jnp.repeat(prior.means, 15, axis=0),
+        key=jax.random.key(0, impl="unsafe_rbg"),
+    )
+    run = jax.jit(lambda st: stoch_gpmp_optimize(
+        sampler, cost, st, {}, opt_iters=iters, num_samples=32,
+        temperature=1.0, step_size=0.5, sample_method="dof")[0])
+    st = run(state)
+    np.asarray(st.particle_means)
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        st = run(st)
+    final = np.asarray(st.particle_means)
+    el = (time.perf_counter() - t0) / (iters * chunks)
+    assert np.isfinite(final).all()
+    return {
+        "config": f"planar-T{t}{'-obst' if with_obstacles else ''} dof-dense-apply",
+        "metric": "particle-trajectory updates/sec",
+        "value": round(15 / el, 1),
+        "ms_per_iter": round(el * 1e3, 3),
+    }
+
+
 def gn_bench(t, with_obstacles, method="woodbury", iters=20, chunks=3,
              particles=15, delta=None):
     """Gauss-Newton (GPMP) iteration time: the structured sequential-over-T
@@ -265,7 +332,19 @@ def main():
     ap.add_argument("--panda", action="store_true",
                     help="d=14 long-horizon A/B (dof dense-apply vs legacy "
                     "pscan path); horizons with 2T <= 2048 only for dof")
+    ap.add_argument("--planar-dof", action="store_true",
+                    help="d=4 planar A/B: dof dense-apply vs the pscan "
+                    "plane path (pair with the default stochgpmp rows); "
+                    "dof rows need 2T <= 2048")
     args = ap.parse_args()
+    if args.planar_dof:
+        for t in args.horizons:
+            if 2 * t <= 2048:
+                print(json.dumps(planar_dof_bench(t, False)), flush=True)
+                print(json.dumps(planar_dof_bench(t, True)), flush=True)
+            print(json.dumps(iteration_bench(t, False)), flush=True)
+            print(json.dumps(iteration_bench(t, True)), flush=True)
+        return
     if args.panda:
         for t in args.horizons:
             if 2 * t <= 2048:

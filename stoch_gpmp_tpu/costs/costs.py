@@ -292,6 +292,23 @@ class CostCollision(Cost):
         k = 1.0 / (self.sigma_coll**2)
         return k * jnp.sum(vals[..., sl], axis=-1)
 
+    def supports_dof_planes(self) -> bool:
+        return self.n_dof == 2 and hasattr(self.field, "compute_cost_planes")
+
+    def eval_dof_planes(self, x_planes, observation=None):
+        """Dof-plane-layout ``eval`` for 2D coordinate fields: ``x_planes``
+        is ``[d, B, 2T]`` with position lanes ``:T`` per dof — the field
+        evaluates on the two position planes directly (the d<=8 dof
+        dense-apply A/B path; equal to ``eval`` on the same batch,
+        tested)."""
+        t = x_planes.shape[-1] // 2
+        vals = self.field.compute_cost_planes(
+            x_planes[0, :, :t], x_planes[1, :, :t]
+        )
+        sl = self._slice()
+        k = 1.0 / (self.sigma_coll**2)
+        return k * jnp.sum(vals[..., sl], axis=-1)
+
     def gn_contrib(self, trajs, x_trajs=None, observation=None, fk_trajs=None):
         # H_t = -d e_t / d q_t (position dims only), reference
         # field_factor.py:34-38 via autograd -> jax.grad here. When the field

@@ -440,3 +440,34 @@ def test_dof_planner_fused_quad_path_matches_fallback(monkeypatch):
     fused = run()
     assert calls, "fused path did not engage"
     np.testing.assert_allclose(fused, base, rtol=1e-4, atol=1e-4)
+
+
+def test_cost_collision_eval_dof_planes_matches_eval():
+    """CostCollision.eval_dof_planes (2D coordinate fields; the d<=8 dof
+    dense-apply A/B path) equals the flat eval on the same batch."""
+    import numpy as np
+
+    from stoch_gpmp_tpu.costs import CostCollision
+    from stoch_gpmp_tpu.costs.fields import RasterPrimitive2DField
+    from stoch_gpmp_tpu.envs import generate_obstacle_map
+    from stoch_gpmp_tpu.gp.dof_factored import to_dof_planes
+
+    t = 16
+    obst_map, obst_list = generate_obstacle_map(
+        map_dim=(20, 20), cell_size=0.1, random_gen=True, num_obst=6,
+        rand_limits=[[-7.5, 7.5]] * 2, rand_rect_shape=[2, 2], rng=3,
+        dtype=jnp.float32,
+    )
+    field = RasterPrimitive2DField.from_map(obst_map, obst_list,
+                                            use_pallas=False)
+    coll = CostCollision.create(2, t, field, sigma_coll=1e-2)
+    assert coll.supports_dof_planes()
+    rng = np.random.default_rng(0)
+    trajs = jnp.asarray(
+        rng.uniform(-9, 9, size=(7, t, 4)), jnp.float32
+    )
+    flat = coll.eval(trajs)
+    planes = coll.eval_dof_planes(to_dof_planes(trajs))
+    np.testing.assert_allclose(
+        np.asarray(planes), np.asarray(flat), rtol=1e-6, atol=1e-6
+    )
