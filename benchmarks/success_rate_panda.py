@@ -30,7 +30,8 @@ import numpy as np
 
 def run_episode(seed: int, iters: int, physics: str = "kinematic",
                 planner_kind: str = "native",
-                contact_model: str = "spheres") -> dict:
+                contact_model: str = "spheres",
+                render_gif: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -206,7 +207,8 @@ def run_episode(seed: int, iters: int, physics: str = "kinematic",
 
     # closed-loop execution in the env with the same obstacles
     env = PandaEnv(num_obst=5, seed=seed, frequency=24, physics=physics,
-                   contact_model=contact_model)
+                   contact_model=contact_model,
+                   render=render_gif is not None)
     env.reset()
     env.panda.reset(q=np.asarray(start_q))
     for i, s in enumerate(env.spheres):
@@ -227,6 +229,8 @@ def run_episode(seed: int, iters: int, physics: str = "kinematic",
             break
     ee_final, _ = env.panda.getEEPositionAndOrientation()
     dist = float(np.linalg.norm(ee_final - target_pos))
+    if render_gif is not None:
+        env.save_animation(f"{render_gif}_seed{seed}.gif", fps=20, stride=2)
     return {
         "seed": seed,
         "goal_reached": bool(env.goal_reached[0]),
@@ -252,11 +256,16 @@ def main():
                     "92-sphere decomposition of the actual collision meshes "
                     "(default); 'points' = legacy link-origin check. BOTH "
                     "verdicts are reported per episode either way.")
+    ap.add_argument("--render-gif", type=str, default=None,
+                    help="save each episode's 3D view as PREFIX_seedN.gif "
+                    "(the native equivalent of the reference's "
+                    "PandaEnv(render=True) PyBullet GUI)")
     args = ap.parse_args()
     results = [
         run_episode(s, args.iters, physics=args.physics,
                     planner_kind=args.planner,
-                    contact_model=args.contact_model)
+                    contact_model=args.contact_model,
+                    render_gif=args.render_gif)
         for s in range(args.seeds)
     ]
     for r in results:

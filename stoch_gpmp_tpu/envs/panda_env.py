@@ -173,7 +173,15 @@ class PandaEnv:
     """Gym-like closed-loop environment (reference ``panda.py:249-684``)."""
 
     def __init__(self, render: bool = False, goal_offset: float = 0.08, **kwargs):
-        del render  # no GUI backend; plotting is external
+        # ``render=True``: native visualization mode (the reference attaches
+        # a PyBullet GUI, ``panda.py:518-527``). Headless-native equivalent:
+        # every step records a light frame (arm skeleton, spheres, goal,
+        # contact flag); ``render_frame(ax)`` draws one 3D matplotlib view
+        # and ``save_animation(path)`` writes the episode as a GIF. The
+        # simulation itself is identical with render on/off.
+        self.render_mode = bool(render)
+        self._frames = []
+        self._max_frames = int(kwargs.get("max_render_frames", 2000))
         self._seed = kwargs.get("seed", None)
         self.t_step = 0
         self._t_start = time.time()
@@ -351,6 +359,8 @@ class PandaEnv:
         self._t_start = time.time()
         self.s_t = [np.array(self.panda.getJointStates()).reshape(1, 1, -1), obs_state]
         self._init_buffer()
+        self._frames = []
+        self._record_frame()
         return self.s_t
 
     def step(self, a_t=None):
@@ -403,6 +413,7 @@ class PandaEnv:
 
         costs = self.cost_function()
         self._update_buffer()
+        self._record_frame()
         return (
             self.s_t,
             costs,
@@ -412,6 +423,97 @@ class PandaEnv:
 
     def close(self):
         pass
+
+    # ------------------------------------------------------------------ #
+    # Native visualization (the reference's ``render=True`` attaches a
+    # PyBullet GUI, ``panda.py:518-527``; headless-native equivalent).
+    @property
+    def frames(self):
+        """Recorded render frames (``render=True`` only)."""
+        return self._frames
+
+    def _record_frame(self):
+        if not self.render_mode or len(self._frames) >= self._max_frames:
+            return
+        lp = self.panda.link_poses()
+        goal = self.s_T
+        self._frames.append({
+            "skeleton": lp[:, :3, 3].copy(),
+            "spheres": [
+                (np.asarray(s.base_position, dtype=float).copy(),
+                 float(s.scale), int(s.role or 0))
+                for s in self.spheres
+            ],
+            "goal": None if goal is None else np.asarray(goal).reshape(3).copy(),
+            "t": self.t_step,
+            "contact": bool(self.is_contact),
+            "reached": list(self.goal_reached),
+        })
+
+    def render_frame(self, ax=None, frame=None):
+        """Draw one recorded frame (default: the latest) as a 3D view: arm
+        skeleton polyline, obstacle spheres (static red / dynamic dark red,
+        the reference's GUI colors, ``objects.py:126-129``), current goal
+        star. Returns the axis."""
+        import matplotlib.pyplot as plt
+
+        if frame is None:
+            if not self._frames:
+                raise ValueError("no frames recorded (construct with render=True)")
+            frame = self._frames[-1]
+        if ax is None:
+            fig = plt.figure(figsize=(6, 6))
+            ax = fig.add_subplot(projection="3d")
+        sk = frame["skeleton"]
+        ax.plot(sk[:, 0], sk[:, 1], sk[:, 2], "o-", color="tab:blue",
+                lw=2.5, ms=3)
+        u = np.linspace(0, 2 * np.pi, 12)
+        v = np.linspace(0, np.pi, 7)
+        cu, su = np.cos(u), np.sin(u)
+        sv, cv = np.sin(v), np.cos(v)
+        for pos, r, role in frame["spheres"]:
+            color = (1.0, 0.0, 0.0) if role == 0 else (0.5, 0.0, 0.0)
+            ax.plot_surface(
+                pos[0] + r * np.outer(cu, sv),
+                pos[1] + r * np.outer(su, sv),
+                pos[2] + r * np.outer(np.ones_like(u), cv),
+                color=color, alpha=0.35, linewidth=0,
+            )
+        if frame["goal"] is not None:
+            g = frame["goal"]
+            ax.plot([g[0]], [g[1]], [g[2]], "g*", markersize=12)
+        ax.set_xlim(-0.9, 0.9)
+        ax.set_ylim(-0.9, 0.9)
+        ax.set_zlim(0.0, 1.2)
+        ax.set_box_aspect((1, 1, 2.0 / 3.0))
+        status = "CONTACT" if frame["contact"] else (
+            "reached" if all(frame["reached"]) else ""
+        )
+        ax.set_title(f"t={frame['t']} {status}".rstrip())
+        return ax
+
+    def save_animation(self, path, fps=20, stride=1):
+        """Write the recorded episode as a GIF (``render=True`` episodes)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib.animation import FuncAnimation, PillowWriter
+
+        frames = self._frames[:: max(1, int(stride))]
+        if not frames:
+            raise ValueError("no frames recorded (construct with render=True)")
+        fig = plt.figure(figsize=(6, 6))
+        ax = fig.add_subplot(projection="3d")
+
+        def draw(i):
+            ax.cla()
+            self.render_frame(ax=ax, frame=frames[i])
+
+        anim = FuncAnimation(fig, draw, frames=len(frames))
+        anim.save(path, writer=PillowWriter(fps=fps))
+        plt.close(fig)
+        return path
 
     # ------------------------------------------------------------------ #
     def _resolve_obstacle_contacts(self):

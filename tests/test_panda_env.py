@@ -358,3 +358,31 @@ def test_reference_parity_regime_has_no_sphere_motion():
     for s, p0, v0 in zip(env.spheres, pos0, vel0):
         np.testing.assert_array_equal(s.base_position, p0)
         np.testing.assert_array_equal(np.asarray(s.base_linear_velocity), v0)
+
+
+def test_render_mode_records_and_saves(tmp_path):
+    """render=True (the reference attaches a PyBullet GUI, panda.py:518-527)
+    natively records per-step frames and writes an episode GIF; the
+    simulation itself is unchanged by rendering."""
+    env = PandaEnv(num_obst=2, seed=4, render=True)
+    env.reset()
+    env.set_goals([np.array([0.4, 0.2, 0.5]), None])
+    for _ in range(3):
+        env.step(env.panda.q + 0.02)
+    assert len(env.frames) == 4  # reset + 3 steps
+    f = env.frames[-1]
+    assert f["skeleton"].shape[1] == 3 and len(f["spheres"]) == 2
+    assert f["goal"].shape == (3,)
+    out = tmp_path / "ep.gif"
+    env.save_animation(out, fps=5)
+    assert out.exists() and out.stat().st_size > 0
+
+    # render=False records nothing and refuses to draw
+    env2 = PandaEnv(num_obst=1, seed=4)
+    env2.reset()
+    env2.step()
+    assert env2.frames == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="render=True"):
+        env2.render_frame()
