@@ -74,19 +74,34 @@ class Sphere(DynamicBodyCore):
         self.base_position = self.base_position + self.base_linear_velocity * dt
 
 
-@functools.lru_cache(maxsize=1)
-def _shared_panda_dynamics():
+@functools.lru_cache(maxsize=2)
+def _shared_panda_dynamics(gripper: bool = False):
     from stoch_gpmp_tpu.kinematics.panda_model import panda_dynamics
 
-    return panda_dynamics()
+    return panda_dynamics(gripper=gripper)
+
+
+GEAR_MAX_FORCE = 50.0  # reference objects.py:260 changeConstraint maxForce
+GEAR_ERP = 0.1  # reference objects.py:260 changeConstraint erp
+_FINGER_MASS = 0.1  # kg, reference asset (prismatic => effective inertia)
 
 
 @functools.lru_cache(maxsize=8)
-def _panda_integrators(kp, kd, effort, vel, lo, hi):
+def _panda_integrators(kp, kd, effort, vel, lo, hi, gripper=False):
     """Jitted computed-torque-PD and torque-mode steppers, cached across
     ``Panda`` instances (tracing the 8 RNEA passes of ``mass_matrix`` is
-    expensive; all instances of one gain/limit set share a compilation)."""
-    dyn = _shared_panda_dynamics()
+    expensive; all instances of one gain/limit set share a compilation).
+
+    With ``gripper=True`` (9 DOF) both steppers solve the native analogue
+    of the reference's bullet GEAR constraint between the finger joints
+    (``objects.py:249-260``: ``JOINT_GEAR``, ``gearRatio=-1``, ``erp=0.1``,
+    ``maxForce=50``) the way bullet does — as a velocity-level constraint
+    after integration: the relative finger velocity is driven to zero plus
+    an ERP positional correction, by an impulse capped at
+    ``maxForce * dt``. (A stiff coupling FORCE is unstable against the
+    velocity clamp at 240 Hz — measured a sustained ±vel-limit flip-flop
+    limit cycle.)"""
+    dyn = _shared_panda_dynamics(gripper)
     effort = jnp.asarray(effort)
     vel = jnp.asarray(vel)
     lo = jnp.asarray(lo)
@@ -94,6 +109,17 @@ def _panda_integrators(kp, kd, effort, vel, lo, hi):
 
     def integrate(q, dq, qdd, dt):
         dq2 = jnp.clip(dq + qdd * dt, -vel, vel)
+        if gripper:
+            c = q[7] - q[8]  # drive q7 - q8 -> 0 (fingers symmetric)
+            cdot = dq2[7] - dq2[8]
+            mu = _FINGER_MASS / 2.0  # reduced mass of the two fingers
+            j = jnp.clip(
+                mu * (-cdot - GEAR_ERP * c / dt),
+                -GEAR_MAX_FORCE * dt, GEAR_MAX_FORCE * dt,
+            )
+            dq2 = dq2.at[7].add(j / _FINGER_MASS)
+            dq2 = dq2.at[8].add(-j / _FINGER_MASS)
+            dq2 = jnp.clip(dq2, -vel, vel)
         q2 = jnp.clip(q + dq2 * dt, lo, hi)
         return q2, dq2
 
@@ -125,20 +151,31 @@ class Panda:
     ``objects.py:184-368`` API surface without the bullet client)."""
 
     HOME = np.asarray([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785])
+    HOME_FINGERS = np.asarray([0.04, 0.04])  # open (ref objects.py:201)
 
     def __init__(self, dtype=None, use_dynamics: bool = False,
-                 kp: float = 400.0, kd: float | None = None):
+                 kp: float = 400.0, kd: float | None = None,
+                 gripper: bool = False):
         if dtype is None:
             # f64 when enabled (IK/dynamics precision); silent f32 otherwise
             # (jax emits a truncation warning per explicit-f64 asarray)
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        self.chain = franka_panda(dtype=dtype)
+        # ``gripper=True``: the 9-DOF variant (two prismatic fingers). The
+        # finger joints are coupled by the native analogue of the
+        # reference's bullet gear constraint (see ``_panda_integrators``) in
+        # dynamics/torque mode, and held symmetric (the infinite-stiffness
+        # limit of that gear) in kinematic mode.
+        self.gripper = bool(gripper)
+        self.chain = franka_panda(dtype=dtype, gripper=gripper)
         self.dof = self.chain.n_dofs
         self.jl_lower = np.asarray(self.chain.limits_lower)
         self.jl_upper = np.asarray(self.chain.limits_upper)
         self.velocity_limit = np.asarray(self.chain.limits_velocity)
-        # effort limits from the reference asset (87 Nm joints 1-4, 12 Nm 5-7)
+        # effort limits from the reference asset (87 Nm joints 1-4, 12 Nm
+        # 5-7, 20 N fingers)
         self.effort_limit = np.array([87.0, 87.0, 87.0, 87.0, 12.0, 12.0, 12.0])
+        if gripper:
+            self.effort_limit = np.concatenate([self.effort_limit, [20.0, 20.0]])
         # Position control through the rigid-body dynamics: a computed-torque
         # PD motor (the native analogue of bullet's POSITION_CONTROL
         # constraint motor the reference drives at objects.py:294-304),
@@ -154,11 +191,16 @@ class Panda:
     @property
     def dynamics(self):
         if self._dynamics is None:
-            self._dynamics = _shared_panda_dynamics()
+            self._dynamics = _shared_panda_dynamics(self.gripper)
         return self._dynamics
 
     def reset(self, q=None):
-        self.q = np.asarray(q if q is not None else self.HOME, dtype=float).copy()
+        if q is None:
+            q = (
+                np.concatenate([self.HOME, self.HOME_FINGERS])
+                if self.gripper else self.HOME
+            )
+        self.q = np.asarray(q, dtype=float).copy()
         self.dq = np.zeros(self.dof)
         self.target_joint_positions = self.q.copy()
         self.target_torques = np.zeros(self.dof)
@@ -190,6 +232,10 @@ class Panda:
         dq = np.clip(err, -max_step, max_step)
         self.q = self.q + dq
         self.dq = dq / dt if dt > 0 else np.zeros_like(dq)
+        if self.gripper:
+            # infinite-stiffness limit of the finger gear constraint
+            m = 0.5 * (self.q[7] + self.q[8])
+            self.q[7] = self.q[8] = m
 
     def _integrators(self):
         """Jitted semi-implicit-Euler steppers (shared across instances)."""
@@ -198,6 +244,7 @@ class Panda:
                 self.kp, self.kd,
                 tuple(self.effort_limit), tuple(self.velocity_limit),
                 tuple(self.jl_lower), tuple(self.jl_upper),
+                gripper=self.gripper,
             )
         return self._pd_step, self._tau_step
 

@@ -195,3 +195,40 @@ def test_gripper_fk_and_wrapper():
     np.testing.assert_allclose(
         np.asarray(poses_open[:7]), np.asarray(poses_closed[:7]), atol=1e-12
     )
+
+
+def test_gripper_gear_constraint_couples_fingers():
+    """The 9-DOF Panda wrapper couples the finger joints like the
+    reference's bullet gear constraint (objects.py:249-260: JOINT_GEAR,
+    gearRatio=-1, maxForce=50): an asymmetric torque on ONE finger moves
+    BOTH fingers together in torque mode, and kinematic tracking holds
+    them symmetric under asymmetric targets."""
+    import numpy as np
+
+    from stoch_gpmp_tpu.envs.objects import Panda
+
+    panda = Panda(gripper=True, use_dynamics=True)
+    assert panda.dof == 9
+    np.testing.assert_allclose(panda.q[7:], [0.04, 0.04])
+
+    # torque mode: gravity-compensating torque on the arm, +3 N on finger 1
+    # only (closing). Without the gear, finger 2 would not move.
+    tau = np.zeros(9)
+    h = np.asarray(panda.dynamics.bias_forces(
+        jnp.asarray(panda.q), jnp.asarray(panda.dq)))
+    tau[:7] = h[:7]
+    tau[7] = -3.0
+    panda.setTargetTorques(tau)
+    for _ in range(120):  # 0.5 s
+        panda.step(1.0 / 240.0)
+    assert panda.q[7] < 0.035  # finger 1 moved toward closed
+    assert abs(panda.q[7] - panda.q[8]) < 5e-3  # finger 2 dragged along
+
+    # kinematic mode: asymmetric finger targets are tracked symmetrically
+    kin = Panda(gripper=True)
+    target = kin.q.copy()
+    target[7], target[8] = 0.0, 0.04
+    kin.setTargetPositions(target)
+    for _ in range(240):
+        kin.step(1.0 / 240.0)
+    assert abs(kin.q[7] - kin.q[8]) < 1e-9
