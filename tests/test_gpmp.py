@@ -1,5 +1,6 @@
 """GPMP Gauss-Newton planner: structured solve vs dense oracle, convergence."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -136,6 +137,7 @@ def test_woodbury_matches_cholesky_with_fields():
     )
 
 
+@pytest.mark.slow
 def test_woodbury_panda_fk_fields():
     """Woodbury with FK-routed field Jacobians (LinkDistanceField + SE(3)
     goal) equals the structured path (f64)."""
@@ -259,6 +261,7 @@ def test_gpmp_sample_trajectories():
     assert vel.shape == (4, 5, traj_len, 2)
 
 
+@pytest.mark.slow
 def test_gpmp_panda_with_fk_fields():
     """Gauss-Newton with field Jacobians flowing through the FK chain
     (reference field_factor.py:34-38 autograd path -> jax.grad here)."""

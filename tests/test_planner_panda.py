@@ -1,6 +1,7 @@
 """End-to-end StochGPMP on the Panda 7-DOF workload (reference
 ``examples/panda_environment.py`` parity config, scaled down for CI)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,6 +119,7 @@ def test_panda_ee_moves_toward_target():
     assert dist.min() < 0.15, (dist0, dist)
 
 
+@pytest.mark.slow
 def test_panda_long_horizon_runs():
     """T=160 puts the Panda prior in long-horizon mode (M = 14*160 > 2048):
     the structured sampler routes through the d=14 parallel-in-time solver

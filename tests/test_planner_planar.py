@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stoch_gpmp_tpu.costs import (
     CostCollision,
@@ -149,6 +150,7 @@ def test_collect_metrics():
     assert np.all(np.asarray(m.weight_entropy) <= np.log(32) + 1e-5)
 
 
+@pytest.mark.slow
 def test_long_horizon_structured_path():
     """T=768 (M=3072 > dense threshold): the prior skips dense factor
     materialization and the planner runs on the O(T d^2) structured path."""
@@ -190,6 +192,7 @@ def test_long_horizon_structured_path():
     assert bool(jnp.all(jnp.isfinite(new_state.particle_means)))
 
 
+@pytest.mark.slow
 def test_long_horizon_public_api():
     """T=768 long-horizon mode (weight_t is None): every public method of both
     planner classes works on the structured path — the round-1 holes were
@@ -275,6 +278,7 @@ def test_cost_eval_planes_matches_eval():
     np.testing.assert_allclose(par, flat, rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_long_horizon_plane_mode_plans():
     """Beyond M=2048 with a plane-capable cost stack, optimize takes the
     plane-layout path and still anchors the start / reaches the goals."""
@@ -320,6 +324,7 @@ def test_long_horizon_plane_mode_plans():
     assert d1.max() < 0.05
 
 
+@pytest.mark.slow
 def test_plane_and_legacy_paths_same_stream():
     """On a plane-eligible problem the eps stream is a function of the
     PROBLEM, not the execution path: forcing the legacy path (shard_samples)

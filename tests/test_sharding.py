@@ -122,6 +122,7 @@ def test_sharded_gpmp_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_long_horizon_pscan_matches_single_device():
     """Long-horizon mode (no dense factor; parallel-in-time associative-scan
     sampler) under the sharded optimize: the pscan solver's plane arrays are
