@@ -65,6 +65,12 @@ class RobotModel:
 
     @property
     def root_link(self) -> str:
+        if not self.joints:
+            # jointless single-body URDF (e.g. the reference's
+            # assets/sphere_simple.urdf): the lone link is the root
+            if not self.links:
+                raise ValueError("URDF has no joints and no links")
+            return self.links[0]
         children = {j.child_link for j in self.joints}
         roots = [j.parent_link for j in self.joints if j.parent_link not in children]
         if not roots:

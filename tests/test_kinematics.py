@@ -320,3 +320,33 @@ def test_fields_accept_linkstate():
     np.testing.assert_allclose(
         np.asarray(f3.compute_cost(full)), np.asarray(f3.compute_cost(compact)), rtol=1e-10
     )
+
+
+def test_urdf_parser_every_reference_variant():
+    """Every URDF the reference ships parses, builds a chain, and runs FK
+    to finite poses (the two Panda variants above are FK-parity-checked;
+    this sweeps the remaining arm/hand/grasped-object variants and the
+    simple sphere for structural robustness of the parser)."""
+    import glob
+    import os
+
+    from stoch_gpmp_tpu.kinematics.chain import KinematicChain
+
+    paths = sorted(
+        glob.glob("/root/reference/assets/franka_description/robots/*.urdf")
+    ) + ["/root/reference/assets/sphere_simple.urdf"]
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        pytest.skip("reference assets unavailable")
+    for path in paths:
+        model = parse_urdf(path)
+        assert model.n_dofs >= 0, path
+        assert model.root_link, path
+        if not model.joints:  # jointless single body (sphere_simple.urdf)
+            assert model.root_link == model.links[0]
+            continue
+        chain = KinematicChain(model, dtype=jnp.float64)
+        q = jnp.zeros(model.n_dofs, dtype=jnp.float64)
+        fk = np.asarray(chain.fk(q))
+        assert np.isfinite(fk).all(), path
+        assert fk.shape[-2:] == (4, 4), path
