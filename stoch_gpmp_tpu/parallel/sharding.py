@@ -104,7 +104,12 @@ def make_sharded_optimize(mesh: Mesh, layout: str = "flat", **static_kwargs):
         particle_means=NamedSharding(mesh, PartitionSpec("p", None, None)),
         key=NamedSharding(mesh, PartitionSpec()),
     )
-    return jax.jit(run, out_shardings=(out_state_sh, None))
+    out_sh = (
+        (out_state_sh, None, None)
+        if static_kwargs.get("collect_metrics")
+        else (out_state_sh, None)
+    )
+    return jax.jit(run, out_shardings=out_sh)
 
 
 def _make_shard_dof_quad(mesh: Mesh):

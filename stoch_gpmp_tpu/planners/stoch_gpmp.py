@@ -606,12 +606,20 @@ class StochGPMP:
         dtype=jnp.float32,
         sample_method: str = "dense",
         prng_impl: str | None = None,
+        mesh=None,
         **kwargs,
     ):
         # prng_impl: None -> jax default (threefry: reproducible and stable
         # under sharding). 'rbg'/'unsafe_rbg' use the TPU-native hardware
         # generator — ~2x faster planner iterations, but bit patterns may vary
         # across backends/shardings.
+        # mesh: a jax.sharding.Mesh with ('p', 's') axes (parallel/sharding.py
+        # make_mesh) — optimize() then runs multi-chip: particles shard over
+        # 'p', Monte-Carlo samples over 's' (sample_method='dof' uses the
+        # dof-factored sharded layout). Same trajectories as single-device
+        # up to f32 all-reduce ordering (tested on the virtual mesh).
+        self.mesh = mesh
+        self._sharded_cache: dict = {}
         self.n_dof = n_dof
         self.d_state_opt = 2 * n_dof
         self.dt = dt
@@ -707,6 +715,11 @@ class StochGPMP:
         )
         self.sampler = SamplerModel.from_prior(sample_prior)
         self.state = StochGPMPState(particle_means=particle_means, key=self._key)
+        if self.mesh is not None:
+            from stoch_gpmp_tpu.parallel import shard_planner_state
+
+            self.state = shard_planner_state(self.mesh, self.state)
+            self._sharded_cache.clear()
 
         self._jit_optimize = functools.partial(
             jax.jit,
@@ -737,18 +750,23 @@ class StochGPMP:
         observation.update(obs_kwargs)
         iters = self.opt_iters if opt_iters is None else opt_iters
 
-        out = self._jit_optimize(
-            self.sampler,
-            self.cost,
-            self.state,
-            observation,
-            opt_iters=iters,
-            num_samples=self.num_samples,
-            temperature=self.temperature,
-            step_size=self.step_size,
-            sample_method=self.sample_method,
-            collect_metrics=collect_metrics,
-        )
+        if self.mesh is not None:
+            out = self._sharded_runner(iters, collect_metrics)(
+                self.sampler, self.cost, self.state, observation
+            )
+        else:
+            out = self._jit_optimize(
+                self.sampler,
+                self.cost,
+                self.state,
+                observation,
+                opt_iters=iters,
+                num_samples=self.num_samples,
+                temperature=self.temperature,
+                step_size=self.step_size,
+                sample_method=self.sample_method,
+                collect_metrics=collect_metrics,
+            )
         if collect_metrics:
             self.state, aux, self.last_metrics = out
         else:
@@ -764,6 +782,24 @@ class StochGPMP:
             aux.costs,
             aux.grad,
         )
+
+    def _sharded_runner(self, iters: int, collect_metrics: bool):
+        """Cached sharded optimize (``mesh=`` mode) for one static config."""
+        key = (iters, collect_metrics)
+        if key not in self._sharded_cache:
+            from stoch_gpmp_tpu.parallel import make_sharded_optimize
+
+            layout = "dof" if self.sample_method == "dof" else "flat"
+            kw = {} if layout == "dof" else {
+                "sample_method": self.sample_method
+            }
+            self._sharded_cache[key] = make_sharded_optimize(
+                self.mesh, layout=layout, opt_iters=iters,
+                num_samples=self.num_samples, temperature=self.temperature,
+                step_size=self.step_size, collect_metrics=collect_metrics,
+                **kw,
+            )
+        return self._sharded_cache[key]
 
     def get_recent_samples(self):
         """(sample positions, sample velocities) of the last optimize call,

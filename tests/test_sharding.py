@@ -273,3 +273,41 @@ def test_shard_map_dof_quad_kernel_engages_and_matches():
 
     # ineligible horizon (t % 128 != 0) -> trace-time None, no crash
     assert f(dq.replace(traj_len=96), x, pu, 0.7) is None
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_stochgpmp_class_mesh_kwarg():
+    """StochGPMP(mesh=...) — the reference-shaped class runs multi-chip
+    with one kwarg: same trajectories as the unsharded class (threefry
+    stream is sharding-stable) and output actually sharded."""
+    goals = jnp.asarray(
+        [[1.0, 1, 0, 0], [1, -1, 0, 0], [-1, 1, 0, 0], [-1, -1, 0, 0]],
+        jnp.float32,
+    )
+    kw = dict(
+        num_particles_per_goal=2, num_samples=4, traj_len=8, opt_iters=3,
+        dt=0.05, n_dof=2, step_size=0.5, temperature=1.0,
+        start_state=jnp.zeros(4, jnp.float32), multi_goal_states=goals,
+        sigma_start_init=1e-2, sigma_goal_init=1e-2, sigma_gp_init=1.0,
+        sigma_start_sample=1e-2, sigma_goal_sample=1e-2, sigma_gp_sample=1.0,
+        seed=3,
+    )
+    from stoch_gpmp_tpu.costs import CostComposite, CostGP, CostGoalPrior
+    from stoch_gpmp_tpu.planners import StochGPMP
+
+    cost = CostComposite.create(2, 8, [
+        CostGP.create(2, 8, jnp.zeros(4, jnp.float32), 0.05,
+                      {"sigma_start": 1e-2, "sigma_gp": 1.0}),
+        CostGoalPrior.create(2, 8, goals, sigma_goal_prior=1e-2),
+    ])
+    p1 = StochGPMP(cost=cost, **kw)
+    p1.optimize(collect_metrics=True)
+    mesh = make_mesh(8, axis_shape=(4, 2))
+    p2 = StochGPMP(cost=cost, mesh=mesh, **kw)
+    p2.optimize(collect_metrics=True)
+    np.testing.assert_allclose(
+        np.asarray(p1.particle_means), np.asarray(p2.particle_means),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert len(p2.particle_means.sharding.device_set) == 8
+    assert p2.last_metrics is not None
