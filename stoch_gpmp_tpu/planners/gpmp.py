@@ -380,8 +380,14 @@ class GPMP:
         solver_params=None,
         seed: int = 0,
         dtype=jnp.float32,
+        mesh=None,
         **kwargs,
     ):
+        # mesh: a jax.sharding.Mesh with ('p', 's') axes — optimize() then
+        # shards the per-particle GN solves over 'p' (the trust-region
+        # damping's particle-mean reduction all-reduces across the mesh).
+        self.mesh = mesh
+        self._sharded_cache: dict = {}
         self.n_dof = n_dof
         self.d_state_opt = 2 * n_dof
         self.dt = dt
@@ -436,6 +442,11 @@ class GPMP:
             means = init_prior.sample(sub, self.num_particles_per_goal)
         particle_means = means.reshape(self.num_particles, self.traj_len, self.d_state_opt)
         self.state = GPMPState(particle_means=particle_means, key=self._key)
+        if self.mesh is not None:
+            from stoch_gpmp_tpu.parallel import shard_gpmp_state
+
+            self.state = shard_gpmp_state(self.mesh, self.state)
+            self._sharded_cache.clear()
 
         # sampling prior kept for sample_trajectories parity
         self._sample_prior = make_gp_prior(
@@ -478,17 +489,32 @@ class GPMP:
         observation = dict(observation or {})
         observation.update(obs_kwargs)
         iters = self.opt_iters if opt_iters is None else opt_iters
-        self.state = self._jit_optimize(
-            self.cost,
-            self.state,
-            observation,
-            opt_iters=iters,
-            delta=float(self.solver_params["delta"]),
-            trust_region=bool(self.solver_params["trust_region"]),
-            method=self.solver_params["method"],
-            step_size=self.step_size,
-            woodbury=self._wb,
-        )
+        if self.mesh is not None:
+            if iters not in self._sharded_cache:
+                from stoch_gpmp_tpu.parallel import make_sharded_gpmp_optimize
+
+                self._sharded_cache[iters] = make_sharded_gpmp_optimize(
+                    self.mesh, opt_iters=iters,
+                    delta=float(self.solver_params["delta"]),
+                    trust_region=bool(self.solver_params["trust_region"]),
+                    method=self.solver_params["method"],
+                    step_size=self.step_size, woodbury=self._wb,
+                )
+            self.state = self._sharded_cache[iters](
+                self.cost, self.state, observation
+            )
+        else:
+            self.state = self._jit_optimize(
+                self.cost,
+                self.state,
+                observation,
+                opt_iters=iters,
+                delta=float(self.solver_params["delta"]),
+                trust_region=bool(self.solver_params["trust_region"]),
+                method=self.solver_params["method"],
+                step_size=self.step_size,
+                woodbury=self._wb,
+            )
         means = self.state.particle_means
         costs = self.cost.eval(
             means.reshape(self.num_particles, -1), observation=observation

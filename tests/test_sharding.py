@@ -311,3 +311,41 @@ def test_stochgpmp_class_mesh_kwarg():
     )
     assert len(p2.particle_means.sharding.device_set) == 8
     assert p2.last_metrics is not None
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_gpmp_class_mesh_kwarg():
+    """GPMP(mesh=...) — one-kwarg multi-chip Gauss-Newton on the class:
+    equals the unsharded class (deterministic solver, exact equality up to
+    all-reduce ordering) and lands sharded."""
+    goals = jnp.asarray(
+        [[1.0, 1, 0, 0], [1, -1, 0, 0], [-1, 1, 0, 0], [-1, -1, 0, 0]],
+        jnp.float64,
+    )
+    from stoch_gpmp_tpu.costs import CostComposite, CostGP, CostGoalPrior
+    from stoch_gpmp_tpu.planners.gpmp import GPMP
+
+    cost = CostComposite.create(2, 10, [
+        CostGP.create(2, 10, jnp.zeros(4, jnp.float64), 0.05,
+                      {"sigma_start": 1e-2, "sigma_gp": 1.0}, dtype=jnp.float64),
+        CostGoalPrior.create(2, 10, goals, sigma_goal_prior=1e-2,
+                             dtype=jnp.float64),
+    ])
+    kw = dict(
+        num_particles_per_goal=2, traj_len=10, opt_iters=4, dt=0.05, n_dof=2,
+        step_size=0.5, start_state=jnp.zeros(4, jnp.float64),
+        multi_goal_states=goals, sigma_start_init=1e-2, sigma_goal_init=1e-2,
+        sigma_gp_init=1.0, sigma_start_sample=1e-2, sigma_goal_sample=1e-2,
+        sigma_gp_sample=1.0, seed=7, dtype=jnp.float64,
+        solver_params={"delta": 1e-2, "trust_region": True},
+    )
+    p1 = GPMP(cost=cost, **kw)
+    p1.optimize()
+    mesh = make_mesh(8, axis_shape=(8, 1))
+    p2 = GPMP(cost=cost, mesh=mesh, **kw)
+    p2.optimize()
+    np.testing.assert_allclose(
+        np.asarray(p1.particle_means), np.asarray(p2.particle_means),
+        rtol=1e-9, atol=1e-10,
+    )
+    assert len(p2.particle_means.sharding.device_set) == 8
