@@ -42,3 +42,12 @@ def test_planar_gpmp_example(tmp_path):
     r = _run("planar_gpmp.py", "--iters", "10", "--plot", str(tmp_path / "g.png"))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "final goal distances" in r.stdout
+
+
+def test_planar_sharded_example():
+    """The multi-chip example self-provisions a virtual mesh, runs the
+    one-kwarg mesh API end to end, and reaches the goals."""
+    r = _run("planar_sharded.py", "--devices", "8", "--iters", "120")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "over 8 devices" in r.stdout
+    assert "final distance" in r.stdout
