@@ -471,3 +471,48 @@ def test_cost_collision_eval_dof_planes_matches_eval():
     np.testing.assert_allclose(
         np.asarray(planes), np.asarray(flat), rtol=1e-6, atol=1e-6
     )
+
+
+def test_pallas_dof_quad_eval_odd_batch_blocks():
+    """_pick_batch_block fallbacks: batches that are not 8-aligned (the
+    shard_map per-device slices can be tiny/odd) still evaluate exactly —
+    block == array dims is a legal Mosaic tile."""
+    import numpy as np
+
+    from stoch_gpmp_tpu.costs import CostGP, CostGoalPrior
+    from stoch_gpmp_tpu.costs.quadratic import QuadraticCost
+    from stoch_gpmp_tpu.ops.pallas.stencil import (
+        _pick_batch_block, dof_quad_eval_pallas,
+    )
+
+    assert _pick_batch_block(4, 2) == 4
+    assert _pick_batch_block(12, 4) == 12
+    assert _pick_batch_block(480, 32) == 32
+    assert _pick_batch_block(7, 2) is None  # 7 % 2 != 0 with pu grouping
+
+    n_dof, t = 3, 128
+    rng = np.random.default_rng(5)
+    start = jnp.asarray(
+        np.concatenate([rng.normal(size=n_dof), np.zeros(n_dof)]), jnp.float32
+    )
+    goals = jnp.asarray(
+        np.concatenate([rng.normal(size=(2, n_dof)), np.zeros((2, n_dof))],
+                       axis=1), jnp.float32
+    )
+    gp = CostGP.create(n_dof, t, start, 0.05,
+                       {"sigma_start": 1e-3, "sigma_gp": 0.1},
+                       dtype=jnp.float32)
+    gprior = CostGoalPrior.create(n_dof, t, goals, sigma_goal_prior=1.0,
+                                  dtype=jnp.float32)
+    dq = QuadraticCost.from_gp_and_goal_prior(gp, gprior, t).dof_form
+    for b in (4, 12):  # not 8-aligned; goal-major (b % 2 == 0)
+        x = jnp.asarray(rng.normal(size=(n_dof, b, 2 * t)), jnp.float32)
+        out = dof_quad_eval_pallas(dq, x, interpret=True)
+        assert out is not None
+        # oracle: the XLA residual-form stencil (tests run on CPU, where
+        # eval_dof_planes never routes to the kernel)
+        ref = dq.eval_dof_planes(x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=3e-6,
+            atol=1e-2 * float(np.abs(np.asarray(ref)).max()),
+        )
