@@ -7,7 +7,8 @@
 #
 # Usage: bash scripts/tpu_session_r4.sh [stage ...]
 #   stages: probe tests config5 mfu planar_dof bench configs success
-#   (default: all, in that order)
+#   (default: all of them EXCEPT success — that one is a CPU-bound
+#   closed-loop sanity, run it explicitly if wanted)
 set -u
 PY=/opt/venv/bin/python
 OUT=/tmp/tpu_r4

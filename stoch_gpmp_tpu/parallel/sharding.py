@@ -136,8 +136,8 @@ def _make_shard_dof_quad(mesh: Mesh):
 
     def shard_dof_quad(dq, x, pu, temperature):
         d, p, s, t2 = x.shape
-        if (dq.q_i2 is None or p % n_p or s % n_s or dq.traj_len % 128
-                or x.dtype != jnp.float32):
+        if (dq.q_i2 is None or p % n_p or s % n_s or p % dq.num_goals
+                or dq.traj_len % 128 or x.dtype != jnp.float32):
             return None
         s_loc = s // n_s
         if _pick_batch_block((p // n_p) * s_loc, s_loc) is None:

@@ -490,17 +490,23 @@ class GPMP:
         observation.update(obs_kwargs)
         iters = self.opt_iters if opt_iters is None else opt_iters
         if self.mesh is not None:
-            if iters not in self._sharded_cache:
+            # every static the unsharded path reads fresh per call keys the
+            # cache, so mutating solver_params/step_size between calls
+            # behaves identically in both modes
+            key = (iters, float(self.solver_params["delta"]),
+                   bool(self.solver_params["trust_region"]),
+                   self.solver_params["method"], self.step_size)
+            if key not in self._sharded_cache:
                 from stoch_gpmp_tpu.parallel import make_sharded_gpmp_optimize
 
-                self._sharded_cache[iters] = make_sharded_gpmp_optimize(
+                self._sharded_cache[key] = make_sharded_gpmp_optimize(
                     self.mesh, opt_iters=iters,
                     delta=float(self.solver_params["delta"]),
                     trust_region=bool(self.solver_params["trust_region"]),
                     method=self.solver_params["method"],
                     step_size=self.step_size, woodbury=self._wb,
                 )
-            self.state = self._sharded_cache[iters](
+            self.state = self._sharded_cache[key](
                 self.cost, self.state, observation
             )
         else:

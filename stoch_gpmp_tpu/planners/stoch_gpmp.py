@@ -784,8 +784,12 @@ class StochGPMP:
         )
 
     def _sharded_runner(self, iters: int, collect_metrics: bool):
-        """Cached sharded optimize (``mesh=`` mode) for one static config."""
-        key = (iters, collect_metrics)
+        """Cached sharded optimize (``mesh=`` mode) for one static config.
+        Every static the unsharded path reads fresh per call is part of the
+        cache key, so mutating e.g. ``self.temperature`` between optimize()
+        calls behaves identically in both modes."""
+        key = (iters, collect_metrics, self.num_samples, self.temperature,
+               self.step_size, self.sample_method)
         if key not in self._sharded_cache:
             from stoch_gpmp_tpu.parallel import make_sharded_optimize
 
