@@ -69,3 +69,14 @@ for s in $STAGES; do
   esac
 done
 echo "=== session done $(date -u) ===" | tee -a "$OUT/session.log"
+
+# Deposit raw results into the repo so they survive this shell: the round
+# driver commits uncommitted work at round end, so even an unattended run
+# (watcher fired after the builder's turns ran out) lands in git.
+if [ -f "$OUT/tests.log" ]; then
+  cp "$OUT/tests.log" docs/TPU_TESTS_r04.txt
+fi
+mkdir -p docs/tpu_session_r04
+for f in "$OUT"/*.log; do
+  cp "$f" "docs/tpu_session_r04/$(basename "$f")"
+done
