@@ -18,9 +18,12 @@ SLEEP_S=${SLEEP_S:-780}
 for i in $(seq 1 "$MAX_PROBES"); do
   echo "[watch] probe $i/$MAX_PROBES $(date -u +%H:%M:%S)" | tee -a "$OUT/watch.log"
   if timeout "$PROBE_TIMEOUT" "$PY" - <<'EOF' >> "$OUT/watch.log" 2>&1
-import jax
+import jax, jax.numpy as jnp, numpy as np
 devs = jax.devices()
 assert devs and devs[0].platform == "tpu", devs
+# liveness = an actual round trip, not just a device listing
+val = np.asarray(jnp.arange(8.0).sum())
+assert val == 28.0, val
 print("probe ok:", devs)
 EOF
   then
