@@ -20,7 +20,8 @@ for i in $(seq 1 "$MAX_PROBES"); do
   if timeout "$PROBE_TIMEOUT" "$PY" - <<'EOF' >> "$OUT/watch.log" 2>&1
 import jax, jax.numpy as jnp, numpy as np
 devs = jax.devices()
-assert devs and devs[0].platform == "tpu", devs
+# live tunnel: platform may report as 'tpu' or under the plugin name
+assert devs and devs[0].platform.lower() in ("tpu", "axon"), devs
 # liveness = an actual round trip, not just a device listing
 val = np.asarray(jnp.arange(8.0).sum())
 assert val == 28.0, val
