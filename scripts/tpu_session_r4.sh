@@ -33,7 +33,10 @@ for s in $STAGES; do
       ;;
     tests)
       # hardware validation of every Pallas kernel, INCLUDING the round-3
-      # stencil kernel that had never run on a chip (VERDICT r3 #2)
+      # stencil kernel that had never run on a chip (VERDICT r3 #2).
+      # 2h cap: round-3's run was 9:38 but this round adds never-compiled
+      # Mosaic shapes, and cold tunnel compiles run 90s-10+min each.
+      STAGE_TIMEOUT=7200 \
       STOCH_GPMP_TPU_TESTS=1 run_stage tests $PY -m pytest \
         tests/test_fused_step_tpu.py tests/test_fused_panda_tpu.py \
         tests/test_panda_fast_tpu.py tests/test_fused_panda_dof_tpu.py \
@@ -41,8 +44,8 @@ for s in $STAGES; do
       ;;
     config5)
       # correct-numerics config-5 re-measurement (XLA-dof vs fused-dof A/B
-      # built into the runner)
-      run_stage config5 $PY benchmarks/run.py --config 5
+      # built into the runner); generous cap for cold kernel compiles
+      STAGE_TIMEOUT=5400 run_stage config5 $PY benchmarks/run.py --config 5
       ;;
     mfu)
       # the MFU/roofline table (VERDICT r3 #3, asked two rounds running)
