@@ -131,7 +131,7 @@ def needs_stencil(dof_quad) -> bool:
 
 
 def _dof_quad_kernel(x_ref, anch_ref, w_ref, *rest, traj_len, dt,
-                     temperature=None, num_samples=None):
+                     n_dof_total, temperature=None, num_samples=None):
     """One (batch-block, dof) grid step of :func:`dof_quad_eval_pallas`:
     the full stencil energy of a ``[Bb, 2T]`` tile in ONE pass over its
     rows. ``anch_ref [1, Bb, 4]`` carries the per-row anchor values
@@ -142,7 +142,15 @@ def _dof_quad_kernel(x_ref, anch_ref, w_ref, *rest, traj_len, dt,
     kernel without a concretization error. With ``temperature`` set,
     ``rest`` leads with ``pu_ref [1, Bb/S, 2T]`` (the per-particle
     ``Sigma^{-1} mu`` planes) and the planner's importance term
-    ``tau * x . pu`` fuses into the same pass."""
+    ``tau * x . pu`` fuses into the same pass.
+
+    The per-dof energy column accumulates into a shared ``[Bb, d]`` output
+    block across the dof grid steps (``di`` is the fastest-varying grid
+    dim, so Mosaic keeps the block resident and writes it back once per
+    batch block — the standard reduction-revisiting pattern). A
+    ``[Bb, 1]``-blocked output would partition the minor dim in lanes of
+    1, which Mosaic tiling rejects (block dims must be tile-multiples or
+    equal to the array dims — see docs/PERFORMANCE.md, CLAUDE.md)."""
     if temperature is not None:
         pu_ref, out_ref = rest
     else:
@@ -182,7 +190,19 @@ def _dof_quad_kernel(x_ref, anch_ref, w_ref, *rest, traj_len, dt,
         e = e + float(temperature) * jnp.sum(
             x * pu_rows, axis=1, keepdims=True
         )
-    out_ref[:] = e
+    di = pl.program_id(1)
+    col = (
+        jax.lax.broadcasted_iota(jnp.int32, (nb, n_dof_total), 1) == di
+    ).astype(jnp.float32)
+    contrib = e * col  # [Bb, d]: this dof's energy in column di
+
+    @pl.when(di == 0)
+    def _init():
+        out_ref[:] = contrib
+
+    @pl.when(di != 0)
+    def _accumulate():
+        out_ref[:] = out_ref[:] + contrib
 
 
 def dof_anchor_rows(dof_quad, b):
@@ -198,12 +218,21 @@ def dof_anchor_rows(dof_quad, b):
     return jnp.concatenate([s_rows, g_rows], axis=-1).astype(jnp.float32)
 
 
-def _pick_batch_block(b: int, s: int) -> int | None:
+def _pick_batch_block(b: int, s: int, *, with_pu: bool = False) -> int | None:
     """Largest batch block that divides ``b``, is a whole number of
     ``s``-sample groups, and tiles cleanly (8-aligned, or the full batch —
-    a block equal to the array dims is always legal)."""
+    a block equal to the array dims is always legal).
+
+    ``with_pu``: the fused-importance call also blocks the per-particle
+    ``pu [d, P, 2T]`` input as ``(1, bb // s, 2T)``, whose SUBLANE dim
+    ``bb // s`` must itself be 8-aligned (or the block must be the full
+    batch, making it equal to the array's particle dim) for Mosaic tiling
+    — a partial block with a 1/2/4-row sublane dim is rejected at compile
+    time on hardware."""
     for c in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if b % c == 0 and c % s == 0:
+        if b % c == 0 and c % s == 0 and (
+            not with_pu or c == b or (c // s) % 8 == 0
+        ):
             return c
     if b % s == 0 and b <= 2048:
         return b
@@ -221,8 +250,9 @@ def dof_quad_eval_pallas(dof_quad, x_planes, *, pu=None, temperature=None,
     the XLA lowering of the plain stencil leaves them unfused at config-5
     scale (x is 147 MB; measured ~2.4x whole-iteration regression,
     docs/PERFORMANCE.md round 3), while the kernel reads each ``[Bb, 2T]``
-    tile once. Grid = (batch blocks, dofs); each step writes a ``[Bb, 1]``
-    energy column of the ``[B, d]`` output, summed over dofs outside.
+    tile once. Grid = (batch blocks, dofs); each step accumulates its
+    dof's energy column into a per-batch-block ``[Bb, d]`` output block
+    (summed over dofs outside the kernel).
 
     With ``pu [d, P, 2T]`` + ``temperature`` + ``num_samples`` the planner's
     importance term ``tau * sum(x * pu)`` (one more full pass over x in
@@ -249,7 +279,7 @@ def dof_quad_eval_pallas(dof_quad, x_planes, *, pu=None, temperature=None,
     s = num_samples if pu is not None else 1
     if pu is not None and (temperature is None or s is None or b % s):
         return None
-    bb = _pick_batch_block(b, s)
+    bb = _pick_batch_block(b, s, with_pu=pu is not None)
     if bb is None:
         return None
     if interpret is None:
@@ -262,7 +292,7 @@ def dof_quad_eval_pallas(dof_quad, x_planes, *, pu=None, temperature=None,
     ]).astype(jnp.float32)  # [12] -> SMEM
 
     kernel = functools.partial(
-        _dof_quad_kernel, traj_len=t, dt=float(dof_quad.dt),
+        _dof_quad_kernel, traj_len=t, dt=float(dof_quad.dt), n_dof_total=d,
         temperature=temperature if pu is not None else None,
         num_samples=s if pu is not None else None,
     )
@@ -284,7 +314,10 @@ def dof_quad_eval_pallas(dof_quad, x_planes, *, pu=None, temperature=None,
         kernel,
         grid=(b // bb, d),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bb, 1), lambda i, di: (i, di),
+        # one [bb, d] block per batch block, revisited (accumulated) across
+        # the fastest-varying dof grid dim — its minor dim equals the array
+        # minor, the only partition Mosaic accepts for a d-column array
+        out_specs=pl.BlockSpec((bb, d), lambda i, di: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
         interpret=interpret,

@@ -140,7 +140,7 @@ def _make_shard_dof_quad(mesh: Mesh):
                 or dq.traj_len % 128 or x.dtype != jnp.float32):
             return None
         s_loc = s // n_s
-        if _pick_batch_block((p // n_p) * s_loc, s_loc) is None:
+        if _pick_batch_block((p // n_p) * s_loc, s_loc, with_pu=True) is None:
             return None
         anch = dof_anchor_rows(dq, p)  # [d, P, 4], goal-major particles
 

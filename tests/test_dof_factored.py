@@ -368,6 +368,23 @@ def test_pallas_dof_quad_importance_fusion():
     np.testing.assert_allclose(np.asarray(fused), expect, rtol=1e-5,
                                atol=1e-5)
 
+    # multi-batch-block grid (bb < B): the dof-column accumulation into the
+    # revisited [bb, d] output block must agree with the one-block answer
+    p2, s2 = 80, 8  # b=640 -> bb=128 (128 // 8 = 16, pu-sublane aligned)
+    x2 = jnp.asarray(rng.normal(size=(n_dof, p2, s2, 2 * t)), jnp.float32)
+    pu2 = jnp.asarray(rng.normal(size=(n_dof, p2, 2 * t)), jnp.float32)
+    x2_flat = x2.reshape(n_dof, p2 * s2, 2 * t)
+    from stoch_gpmp_tpu.ops.pallas.stencil import _pick_batch_block
+    assert _pick_batch_block(p2 * s2, s2, with_pu=True) == 128  # < B
+    fused2 = dof_quad_eval_pallas(
+        dq, x2_flat, pu=pu2, temperature=tau, num_samples=s2, interpret=True
+    )
+    expect2 = np.asarray(dq.eval_dof_planes(x2_flat)) + tau * np.asarray(
+        jnp.sum(x2 * pu2[:, :, None, :], axis=(0, -1))
+    ).reshape(-1)
+    np.testing.assert_allclose(np.asarray(fused2), expect2, rtol=1e-5,
+                               atol=1e-5)
+
     got_dq, rest = _dof_quad_split(dq)
     assert got_dq is dq and rest == []
     comp = CostComposite.create(n_dof, t, [dq], fk=None)
@@ -489,6 +506,18 @@ def test_pallas_dof_quad_eval_odd_batch_blocks():
     assert _pick_batch_block(12, 4) == 12
     assert _pick_batch_block(480, 32) == 32
     assert _pick_batch_block(7, 2) is None  # 7 % 2 != 0 with pu grouping
+    # with_pu: the pu block's sublane dim bb // s must be 8-aligned (or the
+    # block the full batch) — Mosaic rejects partial blocks with 1/2/4-row
+    # sublanes at hardware compile time
+    assert _pick_batch_block(480, 32, with_pu=True) == 480  # 32//32=1 -> full
+    assert _pick_batch_block(1280 * 128, 128, with_pu=True) == 2048  # cfg 5
+    assert _pick_batch_block(12 * 128, 128, with_pu=True) == 1536  # full
+    assert _pick_batch_block(40 * 128, 128, with_pu=True) == 1024
+    assert _pick_batch_block(128, 8, with_pu=True) == 128  # == b -> legal
+    assert _pick_batch_block(640, 8, with_pu=True) == 128  # 128//8=16 ok
+    for b, s in ((480, 32), (12 * 128, 128), (128, 8), (640, 8), (64, 8)):
+        bb = _pick_batch_block(b, s, with_pu=True)
+        assert bb == b or (bb // s) % 8 == 0
 
     n_dof, t = 3, 128
     rng = np.random.default_rng(5)
