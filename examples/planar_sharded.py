@@ -91,8 +91,14 @@ def main():
         CostCollision.create(n_dof, traj_len, obst_map.as_field(),
                              sigma_coll=1e-5),
     ])
-    # particles divisible by the p axis, samples by the s axis
-    ppg = max(1, -(-2 * mesh.shape["p"] // goals.shape[0]))
+    # particles divisible by the p axis, samples by the s axis. Round the
+    # per-goal count UP until the total is an exact multiple of the p axis:
+    # an uneven shard would silently disable the per-shard fused-quad path
+    # (its p % n_p eligibility check) on non-power-of-two device counts.
+    n_p, n_goals = mesh.shape["p"], goals.shape[0]
+    ppg = max(1, -(-2 * n_p // n_goals))
+    while (ppg * n_goals) % n_p:
+        ppg += 1
     planner = StochGPMP(
         num_particles_per_goal=ppg, num_samples=16 * mesh.shape["s"],
         traj_len=traj_len, dt=dt, n_dof=n_dof, opt_iters=args.iters,

@@ -1,17 +1,21 @@
 #!/bin/bash
-# Round-4 tunnel watcher: probe the axon TPU attachment every ~15 min in a
+# Round-5 tunnel watcher: probe the axon TPU attachment every ~15 min in a
 # timed subprocess (a dead tunnel hangs jax.devices() forever in-process —
-# CLAUDE.md); the moment a probe succeeds, run the full staged hardware
-# agenda (scripts/tpu_session_r4.sh) and exit. Bounded at ~11.5 h.
+# CLAUDE.md); the moment a probe succeeds, run the staged hardware agenda
+# (scripts/tpu_session_r5.sh) and exit.
 #
-# Usage: bash scripts/tpu_watch_r4.sh   (run in background; logs to /tmp/tpu_r4/)
+# Launch DETACHED so it survives the builder session that armed it
+# (VERDICT r4 weak #5 — the round-4 watcher died with its session):
+#   setsid nohup bash scripts/tpu_watch_r5.sh > /tmp/tpu_r5/watch.out 2>&1 &
+#   echo $! > /tmp/tpu_r5/watch.pid
 set -u
 PY=/opt/venv/bin/python
-OUT=/tmp/tpu_r4
+OUT=/tmp/tpu_r5
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
-MAX_PROBES=${MAX_PROBES:-46}   # 46 x ~15 min ~= 11.5 h
+SESSION=${SESSION:-scripts/tpu_session_r5.sh}
+MAX_PROBES=${MAX_PROBES:-60}   # 60 x ~15 min ~= 15 h (covers the round)
 PROBE_TIMEOUT=${PROBE_TIMEOUT:-240}
 SLEEP_S=${SLEEP_S:-780}
 
@@ -29,8 +33,8 @@ print("probe ok:", devs)
 EOF
   rc=$?
   if [ "$rc" -eq 0 ]; then
-    echo "[watch] TUNNEL LIVE at $(date -u) — running tpu_session_r4.sh" | tee -a "$OUT/watch.log"
-    bash scripts/tpu_session_r4.sh 2>&1 | tee -a "$OUT/watch.log"
+    echo "[watch] TUNNEL LIVE at $(date -u) — running $SESSION" | tee -a "$OUT/watch.log"
+    bash "$SESSION" 2>&1 | tee -a "$OUT/watch.log"
     echo "[watch] session complete $(date -u)" | tee -a "$OUT/watch.log"
     exit 0
   fi

@@ -268,8 +268,11 @@ def dof_quad_eval_pallas(dof_quad, x_planes, *, pu=None, temperature=None,
     weights ride into the kernel as SMEM scalars, not baked constants.
 
     Requires ``traj_len % 128 == 0`` (clean lane slice of the pos/vel
-    halves) and a batch divisible by 8; returns None if ineligible so the
-    caller can fall back to the XLA stencil."""
+    halves) and a batch that admits a legal block: an 8-aligned divisor
+    that is a whole number of ``s``-sample groups, or the full batch
+    (any size <= 2048 — a block equal to the array dim always tiles; see
+    ``_pick_batch_block``). Returns None if ineligible so the caller can
+    fall back to the XLA stencil."""
     d, b, t2 = x_planes.shape
     t = dof_quad.traj_len
     if (t % 128 != 0 or dof_quad.q_i2 is None

@@ -349,3 +349,98 @@ def test_gpmp_class_mesh_kwarg():
         rtol=1e-9, atol=1e-10,
     )
     assert len(p2.particle_means.sharding.device_set) == 8
+
+
+def _woodbury_field_problem(dtype=jnp.float64, num_particles=8):
+    """Planar GP + goal-prior + occupancy-collision stack whose GN Hessian
+    decomposes for the Woodbury solve (rank-1 field rows -> a batched
+    [P, nf*T, nf*T] capacitance Cholesky — the per-particle factorization
+    that must shard over the ``p`` axis)."""
+    from stoch_gpmp_tpu.costs import CostCollision, OccupancyGridField
+
+    n_dof, traj_len, dt = 2, 24, 0.05
+    start = jnp.asarray([-2.0, -2.0, 0.0, 0.0], dtype=dtype)
+    goals = jnp.asarray([[2.0, 2.0, 0.0, 0.0]], dtype=dtype)
+    xg, yg = jnp.meshgrid(jnp.arange(40, dtype=dtype),
+                          jnp.arange(40, dtype=dtype))
+    grid = jnp.exp(-((xg - 20.0) ** 2 + (yg - 20.0) ** 2) / 50.0)
+    field = OccupancyGridField(grid=grid, cell_size=0.1)
+    cost = CostComposite.create(
+        n_dof, traj_len,
+        [
+            CostGP.create(n_dof, traj_len, start, dt,
+                          {"sigma_start": 0.01, "sigma_gp": 0.5}, dtype=dtype),
+            CostGoalPrior.create(n_dof, traj_len, goals,
+                                 sigma_goal_prior=0.02, dtype=dtype),
+            CostCollision.create(n_dof, traj_len, field, sigma_coll=0.1),
+        ],
+    )
+    rng = np.random.default_rng(11)
+    means = jnp.asarray(
+        0.5 * rng.standard_normal((num_particles, traj_len, 2 * n_dof)), dtype
+    )
+    return cost, means, start, goals, n_dof, traj_len, dt
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_gpmp_woodbury_matches_single_device():
+    """method='woodbury' under the mesh (VERDICT r4 #7): the batched
+    capacitance Cholesky + parallel-in-time solve shard over ``p`` and
+    equal the single-device woodbury run at the cholesky-test tolerance."""
+    from stoch_gpmp_tpu.parallel import (
+        make_sharded_gpmp_optimize,
+        shard_gpmp_state,
+    )
+    from stoch_gpmp_tpu.planners.gpmp import (
+        GPMPState,
+        build_woodbury,
+        gpmp_optimize,
+    )
+
+    cost, means, *_ = _woodbury_field_problem()
+    wb = build_woodbury(cost, 1e-2)
+    assert wb is not None and wb.n_fields == 1
+    state = GPMPState(particle_means=means, key=jax.random.PRNGKey(0))
+    kwargs = dict(opt_iters=4, delta=1e-2, trust_region=False,
+                  method="woodbury", woodbury=wb, step_size=0.5)
+
+    s1 = jax.jit(
+        lambda c, st, ob: gpmp_optimize(c, st, ob, **kwargs)
+    )(cost, state, {})
+    mesh = make_mesh(8, axis_shape=(8, 1))
+    run = make_sharded_gpmp_optimize(mesh, **kwargs)
+    s2 = run(cost, shard_gpmp_state(mesh, state), {})
+    np.testing.assert_allclose(
+        np.asarray(s1.particle_means), np.asarray(s2.particle_means),
+        rtol=1e-9, atol=1e-10,
+    )
+    assert len(s2.particle_means.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_gpmp_class_mesh_woodbury():
+    """GPMP(mesh=..., solver_params={'method': 'woodbury'}): the class
+    builds the Woodbury model itself and runs it sharded — equal to the
+    unsharded class and actually distributed."""
+    from stoch_gpmp_tpu.planners.gpmp import GPMP
+
+    cost, _, start, goals, n_dof, traj_len, dt = _woodbury_field_problem()
+    kw = dict(
+        num_particles_per_goal=8, traj_len=traj_len, opt_iters=4, dt=dt,
+        n_dof=n_dof, step_size=0.5, start_state=start,
+        multi_goal_states=goals, sigma_start_init=1e-2, sigma_goal_init=1e-2,
+        sigma_gp_init=1.0, sigma_start_sample=1e-2, sigma_goal_sample=1e-2,
+        sigma_gp_sample=1.0, seed=5, dtype=jnp.float64,
+        solver_params={"method": "woodbury", "delta": 1e-2,
+                       "trust_region": False},
+    )
+    p1 = GPMP(cost=cost, **kw)
+    p1.optimize()
+    mesh = make_mesh(8, axis_shape=(8, 1))
+    p2 = GPMP(cost=cost, mesh=mesh, **kw)
+    p2.optimize()
+    np.testing.assert_allclose(
+        np.asarray(p1.particle_means), np.asarray(p2.particle_means),
+        rtol=1e-9, atol=1e-10,
+    )
+    assert len(p2.particle_means.sharding.device_set) == 8
