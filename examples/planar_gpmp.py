@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--plot", type=str, default=None)
+    ap.add_argument("--method", choices=["cholesky", "woodbury"],
+                    default="cholesky",
+                    help="GN solve: structured Cholesky, or the "
+                    "parallel-in-time Woodbury split (equal results; "
+                    "O(log T) critical path — see planners/gpmp.py)")
     args = ap.parse_args()
 
     dtype = jnp.float32
@@ -69,7 +74,8 @@ def main():
         sigma_start_sample=0.01,
         sigma_goal_sample=0.01,
         sigma_gp_sample=0.5,
-        solver_params={"delta": 1e-2, "trust_region": False, "method": "cholesky"},
+        solver_params={"delta": 1e-2, "trust_region": False,
+                       "method": args.method},
         seed=args.seed,
         dtype=dtype,
     )

@@ -255,6 +255,23 @@ class PandaEnv:
         # base/link1 column spheres legitimately rest at the floor (the
         # reference's floor check allows the single standing contact point)
         self._floor_exempt_frames = {None, names.index("panda_link1")}
+        # Flat per-sphere frame index (-1 = world-fixed base spheres, never
+        # deflected) and local centers, for the contact-deflection Jacobians.
+        self._mesh_sphere_frames = np.concatenate([
+            np.full(len(r), -1 if idx is None else idx, dtype=int)
+            for idx, _, r in self._mesh_spheres
+        ])
+        self._mesh_sphere_locals = np.concatenate(
+            [c for _, c, _ in self._mesh_spheres]
+        )
+        # Terminal-step contact deflection (reference panda.py:443,453-481):
+        # bullet's solver blocks the position-controlled arm at the contact,
+        # so the RECORDED state on the episode-ending step is the deflected
+        # pose, not the commanded one. Default ON; resolves to a bullet-like
+        # linear slop so the contact flag still trips at the defaults.
+        self._contact_deflection = bool(kwargs.get("contact_deflection", True))
+        self._contact_slop = float(kwargs.get("contact_slop", 1e-3))
+        self._fk_jac = None  # lazily-jitted d(link_poses)/dq
         self.contact_verdicts = {"spheres": False, "points": False}
         self._obstacles = {"spheres": [], "boxes": []}
         self._rng = np.random.default_rng(self._seed)
@@ -392,6 +409,7 @@ class PandaEnv:
                 if sphere.role == 1:
                     sphere.integrate(dt)
         self._resolve_obstacle_contacts()
+        self._deflect_arm_contacts()
 
         self.s_t = [
             np.array(self.panda.getJointStates()).reshape(1, 1, -1).copy(),
@@ -516,6 +534,97 @@ class PandaEnv:
         return path
 
     # ------------------------------------------------------------------ #
+    def _deflect_arm_contacts(self):
+        """Record the arm DEFLECTED by static contacts, as bullet does on the
+        episode-ending step (reference ``panda.py:443,453-481``: the
+        position-controlled arm is blocked by the constraint solver, so
+        ``getJointStates()`` on the contact step reflects the blocked pose,
+        not the commanded one — the one residual fidelity delta in
+        docs/COMPONENT_MAP.md).
+
+        Native model: resolve geometric penetration of the mesh-decomposition
+        collision spheres against STATIC obstacle spheres and the floor with
+        damped-least-squares joint corrections along each contact normal
+        (worst contact first, a few Gauss-Seidel passes), then remove the
+        joint-velocity component approaching each resolved contact.
+        Penetration is resolved to ``contact_slop`` (bullet's ~1e-3 m linear
+        slop), so the contact FLAG — ``getClosestPoints`` distance <
+        ``max_obs_dist`` (0 at the defaults, i.e. it trips at penetration) —
+        still trips and the episode still ends (``panda.py:494``); only the
+        recorded terminal state changes. Self-collision stays flag-only
+        (bullet also deflects there; not modeled — documented). Dynamic
+        spheres (extension mode) are handled by
+        ``_resolve_obstacle_contacts`` instead: they move, the arm doesn't.
+        """
+        if not self._contact_deflection:
+            return
+        static = [s for s in self.spheres if s.role == 0]
+        slop = self._contact_slop
+        obst = (
+            np.stack([np.concatenate([s.base_position, [s.scale]])
+                      for s in static])
+            if static else None
+        )
+        q = np.asarray(self.panda.q, dtype=float)
+        resolved = []  # (jn [ndof], denom) per handled contact normal
+        for _ in range(8):
+            link_poses = self.panda.chain.fk(jnp.asarray(q))
+            link_poses = np.asarray(link_poses)
+            cw, rw, fmask = self._world_collision_spheres(link_poses)
+            movable = self._mesh_sphere_frames >= 0
+
+            # deepest geometric penetration across obstacle + floor contacts
+            best = (slop, None, None)  # (pen, sphere idx, normal)
+            if obst is not None:
+                vec = cw[:, None, :] - obst[None, :, :3]  # away from obstacle
+                dist = np.linalg.norm(vec, axis=-1)
+                pen = rw[:, None] + obst[None, :, 3] - dist
+                pen[~movable] = -np.inf
+                i, j = np.unravel_index(np.argmax(pen), pen.shape)
+                if pen[i, j] > best[0] and dist[i, j] > 1e-9:
+                    best = (pen[i, j], i, vec[i, j] / dist[i, j])
+            pen_floor = rw - cw[:, 2]
+            pen_floor[~(fmask & movable)] = -np.inf
+            i = int(np.argmax(pen_floor))
+            if pen_floor[i] > best[0]:
+                best = (pen_floor[i], i, np.array([0.0, 0.0, 1.0]))
+            if best[1] is None:
+                break
+
+            pen, i, n = best
+            if self._fk_jac is None:
+                import jax
+
+                self._fk_jac = jax.jit(jax.jacfwd(self.panda.chain.fk))
+            jac_all = np.asarray(self._fk_jac(jnp.asarray(q)))
+            f = int(self._mesh_sphere_frames[i])
+            c_loc = self._mesh_sphere_locals[i]
+            jc = (
+                np.einsum("abn,b->an", jac_all[f, :3, :3, :], c_loc)
+                + jac_all[f, :3, 3, :]
+            )  # [3, ndof]
+            jn = n @ jc
+            denom = float(jn @ jn) + 1e-8
+            q = np.clip(
+                q + jn * ((pen - slop) / denom),
+                self.panda.jl_lower, self.panda.jl_upper,
+            )
+            resolved.append((jn, denom))
+
+        if not resolved:
+            return
+        self.panda.q = q
+        if self.panda.gripper:
+            m = 0.5 * (self.panda.q[7] + self.panda.q[8])
+            self.panda.q[7] = self.panda.q[8] = m
+        # inelastic: remove the approach velocity along each resolved normal
+        dq = np.asarray(self.panda.dq, dtype=float)
+        for jn, denom in resolved:
+            vn = float(jn @ dq)
+            if vn < 0.0:
+                dq = dq - jn * (vn / denom)
+        self.panda.dq = dq
+
     def _resolve_obstacle_contacts(self):
         """Keep DYNAMIC spheres from interpenetrating the arm: a penetrating
         sphere is pushed out along the contact normal with its approaching

@@ -386,3 +386,92 @@ def test_render_mode_records_and_saves(tmp_path):
 
     with _pytest.raises(ValueError, match="render=True"):
         env2.render_frame()
+
+
+def _worst_static_penetration(env):
+    """Deepest geometric penetration of the arm's movable mesh spheres into
+    static obstacle spheres / the floor (the quantity the deflection
+    resolves)."""
+    lp = env.panda.link_poses()
+    cw, rw, fmask = env._world_collision_spheres(lp)
+    movable = env._mesh_sphere_frames >= 0
+    worst = -np.inf
+    static = [s for s in env.spheres if s.role == 0]
+    if static:
+        c = np.stack([s.base_position for s in static])
+        r = np.array([s.scale for s in static])
+        d = np.linalg.norm(cw[:, None, :] - c[None, :, :], axis=-1)
+        pen = rw[:, None] + r[None, :] - d
+        worst = max(worst, float(pen[movable].max()))
+    pen_floor = rw - cw[:, 2]
+    sel = fmask & movable
+    if sel.any():
+        worst = max(worst, float(pen_floor[sel].max()))
+    return worst
+
+
+def test_terminal_contact_deflection_records_blocked_pose():
+    """On the contact step bullet records the arm BLOCKED at the contact
+    (reference panda.py:443,453-481), not at the commanded pose. The native
+    deflection resolves mesh-sphere penetration to the contact slop, keeps
+    the contact flag tripping, and removes the approach velocity."""
+    def run(deflect):
+        env = PandaEnv(num_obst=1, seed=0, contact_deflection=deflect)
+        env.reset()
+        ee, _ = env.panda.getEEPositionAndOrientation()
+        env.spheres[0].base_position = ee + np.array([0.0, 0.0, -0.06])
+        env.spheres[0].scale = 0.08
+        env.set_goals([ee + np.array([1.0, 0, 0]), None])
+        # command the arm INTO the obstacle
+        q_cmd = env.panda.q.copy()
+        q_cmd[3] -= 0.3
+        _, cost, done, info = env.step(q_cmd)
+        return env, float(cost), done
+
+    env_off, cost_off, done_off = run(False)
+    env_on, cost_on, done_on = run(True)
+    pen_off = _worst_static_penetration(env_off)
+    pen_on = _worst_static_penetration(env_on)
+    assert pen_off > 0.01  # undeflected: the arm really interpenetrates
+    assert pen_on <= env_on._contact_slop + 2e-3  # blocked at the surface
+    # the contact flag + episode semantics are unchanged (panda.py:494)
+    assert env_on.is_contact and done_on and cost_on == 1e2
+    assert env_off.is_contact and done_off and cost_off == 1e2
+    # the recorded terminal state is the deflected one
+    assert not np.allclose(env_on.panda.q, env_off.panda.q, atol=1e-6)
+    # and it no longer approaches the contact (inelastic velocity removal)
+    assert np.linalg.norm(env_on.panda.dq) <= np.linalg.norm(env_off.panda.dq) + 1e-9
+
+
+def test_contact_deflection_noop_without_contact():
+    """Away from contact the deflection changes nothing: the step is
+    bit-identical with the feature on or off."""
+    def run(deflect):
+        env = PandaEnv(num_obst=0, seed=3, contact_deflection=deflect)
+        env.reset()
+        env.set_goals([np.array([0.4, 0.1, 0.5]), None])
+        for _ in range(5):
+            env.step(env.panda.q + 0.01)
+        return env
+
+    a, b = run(True), run(False)
+    np.testing.assert_array_equal(a.panda.q, b.panda.q)
+    np.testing.assert_array_equal(a.panda.dq, b.panda.dq)
+    assert not a.is_contact
+
+
+def test_contact_deflection_floor():
+    """Driving the arm into the floor records a pose resolved to the floor
+    surface (non-exempt spheres at z >= r - slop), with contact flagged."""
+    env = PandaEnv(num_obst=0, seed=0)
+    env.reset()
+    env.set_goals([np.array([1.0, 0, 0]), None])
+    q_cmd = env.panda.q.copy()
+    q_cmd[1] = 1.6
+    q_cmd[3] = -2.2  # lean the whole arm down through the floor plane
+    for _ in range(120):
+        _, _, done, _ = env.step(q_cmd)
+        if done:
+            break
+    assert env.is_contact
+    assert _worst_static_penetration(env) <= env._contact_slop + 2e-3
