@@ -23,6 +23,47 @@ run_stage() {
   local rc=$?
   echo "=== [$name] rc=$rc $(date -u +%H:%M:%S)" | tee -a "$OUT/session.log"
   tail -3 "$OUT/$name.log" | tee -a "$OUT/session.log"
+  deposit  # incrementally: a round ending mid-session still lands numbers
+}
+
+# ---- Deposit results into the repo (survives an unattended run). Called
+# after EVERY stage: the round driver commits whatever is in the worktree at
+# round end, so even a session interrupted mid-stage leaves the completed
+# stages' numbers in git.
+deposit() {
+  mkdir -p docs/tpu_session_r05
+  if [ -f "$OUT/tests.log" ]; then
+    cp "$OUT/tests.log" docs/TPU_TESTS_r05.txt
+  fi
+  for f in "$OUT"/*.log; do
+    cp "$f" "docs/tpu_session_r05/$(basename "$f")"
+  done
+  # Parsed fragment: every benchmark in this repo prints one JSON object per
+  # result line, so the numbers are extracted mechanically — a future round
+  # (or the judge) reads this file, not raw logs.
+  local RES=docs/tpu_session_r05/results.md
+  {
+    echo "# Round-5 TPU session results ($(date -u +%Y-%m-%dT%H:%MZ))"
+    echo
+    echo "Raw logs alongside this file; stages run one at a time (on the"
+    echo "single tunneled v5e chip when live — a per-line \"note\" field marks"
+    echo "any CPU fallback). JSON result lines extracted per stage:"
+    for name in config5 config4 mfu planar_dof bench configs; do
+      [ -f "$OUT/$name.log" ] || continue
+      echo
+      echo "## $name"
+      echo '```json'
+      grep '^{' "$OUT/$name.log" || echo "(no JSON result lines — see $name.log)"
+      echo '```'
+    done
+    if [ -f "$OUT/tests.log" ]; then
+      echo
+      echo "## tests (TPU-gated kernel suite)"
+      echo '```'
+      tail -5 "$OUT/tests.log"
+      echo '```'
+    fi
+  } > "$RES"
 }
 
 STAGES="${*:-probe tests config5 config4 mfu planar_dof bench configs}"
@@ -78,39 +119,5 @@ for s in $STAGES; do
   esac
 done
 echo "=== session done $(date -u) ===" | tee -a "$OUT/session.log"
-
-# ---- Deposit results into the repo (survives an unattended run) ----
-mkdir -p docs/tpu_session_r05
-if [ -f "$OUT/tests.log" ]; then
-  cp "$OUT/tests.log" docs/TPU_TESTS_r05.txt
-fi
-for f in "$OUT"/*.log; do
-  cp "$f" "docs/tpu_session_r05/$(basename "$f")"
-done
-
-# Parsed fragment: every benchmark in this repo prints one JSON object per
-# result line, so the numbers are extracted mechanically — a future round
-# (or the judge) reads this file, not raw logs.
-RES=docs/tpu_session_r05/results.md
-{
-  echo "# Round-5 TPU session results ($(date -u +%Y-%m-%dT%H:%MZ))"
-  echo
-  echo "Raw logs alongside this file; stages run one at a time on the"
-  echo "single tunneled v5e chip. JSON result lines extracted per stage:"
-  for name in config5 config4 mfu planar_dof bench configs; do
-    [ -f "$OUT/$name.log" ] || continue
-    echo
-    echo "## $name"
-    echo '```json'
-    grep '^{' "$OUT/$name.log" || echo "(no JSON result lines — see $name.log)"
-    echo '```'
-  done
-  if [ -f "$OUT/tests.log" ]; then
-    echo
-    echo "## tests (TPU-gated kernel suite)"
-    echo '```'
-    tail -5 "$OUT/tests.log"
-    echo '```'
-  fi
-} > "$RES"
-echo "results fragment written: $RES" | tee -a "$OUT/session.log"
+deposit
+echo "results fragment written: docs/tpu_session_r05/results.md" | tee -a "$OUT/session.log"
