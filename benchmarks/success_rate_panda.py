@@ -31,7 +31,8 @@ import numpy as np
 def run_episode(seed: int, iters: int, physics: str = "kinematic",
                 planner_kind: str = "native",
                 contact_model: str = "spheres",
-                render_gif: str | None = None) -> dict:
+                render_gif: str | None = None,
+                live: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -208,7 +209,7 @@ def run_episode(seed: int, iters: int, physics: str = "kinematic",
     # closed-loop execution in the env with the same obstacles
     env = PandaEnv(num_obst=5, seed=seed, frequency=24, physics=physics,
                    contact_model=contact_model,
-                   render=render_gif is not None)
+                   render="live" if live else render_gif is not None)
     env.reset()
     env.panda.reset(q=np.asarray(start_q))
     for i, s in enumerate(env.spheres):
@@ -260,16 +261,21 @@ def main():
                     help="save each episode's 3D view as PREFIX_seedN.gif "
                     "(the native equivalent of the reference's "
                     "PandaEnv(render=True) PyBullet GUI)")
+    ap.add_argument("--live", action="store_true",
+                    help="redraw a live 3D matplotlib window as each "
+                    "episode executes (interactive backends only show it; "
+                    "headless Agg redraws offscreen)")
     args = ap.parse_args()
-    results = [
-        run_episode(s, args.iters, physics=args.physics,
-                    planner_kind=args.planner,
-                    contact_model=args.contact_model,
-                    render_gif=args.render_gif)
-        for s in range(args.seeds)
-    ]
-    for r in results:
+    # stream each episode's verdict as it finishes (a long multi-seed run
+    # that gets interrupted still leaves per-episode evidence in its log)
+    results = []
+    for s in range(args.seeds):
+        r = run_episode(s, args.iters, physics=args.physics,
+                        planner_kind=args.planner,
+                        contact_model=args.contact_model,
+                        render_gif=args.render_gif, live=args.live)
         print(json.dumps(r), flush=True)
+        results.append(r)
     from success_rate import wilson_interval
 
     k = int(np.sum([r["success"] for r in results]))

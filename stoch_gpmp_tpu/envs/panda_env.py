@@ -177,9 +177,17 @@ class PandaEnv:
         # a PyBullet GUI, ``panda.py:518-527``). Headless-native equivalent:
         # every step records a light frame (arm skeleton, spheres, goal,
         # contact flag); ``render_frame(ax)`` draws one 3D matplotlib view
-        # and ``save_animation(path)`` writes the episode as a GIF. The
-        # simulation itself is identical with render on/off.
+        # and ``save_animation(path)`` writes the episode as a GIF.
+        # ``render="live"`` additionally redraws a persistent matplotlib 3D
+        # figure every ``live_render_every`` steps as the sim advances — the
+        # native analogue of the reference's live GUI window (interactive
+        # backends show it; headless Agg just redraws offscreen, so the mode
+        # is safe — and tested — without a display). The simulation itself
+        # is identical with render on/off.
         self.render_mode = bool(render)
+        self._live_render = render == "live"
+        self._live_every = int(kwargs.get("live_render_every", 1))
+        self._live_ax = None
         self._frames = []
         self._max_frames = int(kwargs.get("max_render_frames", 2000))
         self._seed = kwargs.get("seed", None)
@@ -409,14 +417,15 @@ class PandaEnv:
                 if sphere.role == 1:
                     sphere.integrate(dt)
         self._resolve_obstacle_contacts()
-        self._deflect_arm_contacts()
+        lp = self._deflect_arm_contacts()  # FK of the (possibly deflected)
+        # pose, computed once and shared with the contact check below
 
         self.s_t = [
             np.array(self.panda.getJointStates()).reshape(1, 1, -1).copy(),
             self._state_obstacles().copy(),
         ]
         self.a_t = np.asarray(a_t).copy()
-        self.is_contact = self._check_contact()
+        self.is_contact = self._check_contact(link_poses=lp)
 
         # goal-reach check (reference panda.py:484-491)
         if self.s_T is not None:
@@ -467,6 +476,28 @@ class PandaEnv:
             "contact": bool(self.is_contact),
             "reached": list(self.goal_reached),
         })
+        if self._live_render and self.t_step % self._live_every == 0:
+            self._draw_live()
+
+    def _draw_live(self):
+        """Redraw the persistent live figure from the latest frame (the
+        reference's GUI shows the bullet world continuously,
+        ``panda.py:518-527``; this is the native window). Uses whatever
+        matplotlib backend is active: interactive backends display and
+        update a window via ``plt.pause``; Agg redraws offscreen."""
+        import matplotlib.pyplot as plt
+
+        if self._live_ax is None:
+            fig = plt.figure(figsize=(6, 6))
+            self._live_ax = fig.add_subplot(projection="3d")
+            if plt.isinteractive() or plt.get_backend().lower() != "agg":
+                plt.ion()
+        self._live_ax.cla()
+        self.render_frame(ax=self._live_ax)
+        fig = self._live_ax.figure
+        fig.canvas.draw_idle()
+        if plt.get_backend().lower() != "agg":
+            plt.pause(1e-3)
 
     def render_frame(self, ax=None, frame=None):
         """Draw one recorded frame (default: the latest) as a 3D view: arm
@@ -555,9 +586,13 @@ class PandaEnv:
         (bullet also deflects there; not modeled — documented). Dynamic
         spheres (extension mode) are handled by
         ``_resolve_obstacle_contacts`` instead: they move, the arm doesn't.
+
+        Returns the link poses of the (possibly deflected) final joint
+        state, so the caller's contact check reuses the FK instead of
+        recomputing it.
         """
         if not self._contact_deflection:
-            return
+            return self.panda.link_poses()
         static = [s for s in self.spheres if s.role == 0]
         slop = self._contact_slop
         obst = (
@@ -612,7 +647,7 @@ class PandaEnv:
             resolved.append((jn, denom))
 
         if not resolved:
-            return
+            return link_poses  # current with q: no correction was applied
         self.panda.q = q
         if self.panda.gripper:
             m = 0.5 * (self.panda.q[7] + self.panda.q[8])
@@ -624,6 +659,10 @@ class PandaEnv:
             if vn < 0.0:
                 dq = dq - jn * (vn / denom)
         self.panda.dq = dq
+        # contact step only: one extra FK so the caller checks the
+        # DEFLECTED pose (the loop's last link_poses can be one
+        # correction stale on loop exhaustion)
+        return self.panda.link_poses()
 
     def _resolve_obstacle_contacts(self):
         """Keep DYNAMIC spheres from interpenetrating the arm: a penetrating
@@ -676,12 +715,16 @@ class PandaEnv:
             )
         return np.concatenate(cs), np.concatenate(rs), np.concatenate(fm)
 
-    def _check_contact(self) -> bool:
+    def _check_contact(self, link_poses=None) -> bool:
         """Contact vs floor / self / obstacles (reference ``panda.py:453-481``
         getClosestPoints semantics). Computes BOTH geometry models (mesh-
         sphere decomposition and legacy origin points) into
-        ``contact_verdicts`` and returns the configured one."""
-        link_poses = self.panda.link_poses()  # [L, 4, 4]
+        ``contact_verdicts`` and returns the configured one.
+
+        ``link_poses``: precomputed FK of the current joint state (the step
+        path shares the deflection pass's FK); None recomputes."""
+        if link_poses is None:
+            link_poses = self.panda.link_poses()  # [L, 4, 4]
         self_hit = bool(self._self_field.compute_collision(
             jnp.asarray(link_poses)[None], buffer=0.05
         )[0])

@@ -475,3 +475,21 @@ def test_contact_deflection_floor():
             break
     assert env.is_contact
     assert _worst_static_penetration(env) <= env._contact_slop + 2e-3
+
+
+def test_live_render_mode_headless():
+    """render='live' (the native analogue of the reference's live PyBullet
+    GUI, panda.py:518-527) redraws a persistent 3D figure per step. Under
+    the headless Agg backend it must still run — drawing offscreen — and
+    record frames like render=True."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    env = PandaEnv(num_obst=1, seed=0, render="live", live_render_every=2)
+    env.reset()
+    env.set_goals([np.array([0.4, 0.1, 0.5]), None])
+    for _ in range(4):
+        env.step(env.panda.q + 0.01)
+    assert env.render_mode and env._live_render
+    assert len(env.frames) == 5  # reset + 4 steps
+    assert env._live_ax is not None  # the live figure was drawn
