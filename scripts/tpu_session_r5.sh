@@ -121,3 +121,17 @@ done
 echo "=== session done $(date -u) ===" | tee -a "$OUT/session.log"
 deposit
 echo "results fragment written: docs/tpu_session_r05/results.md" | tee -a "$OUT/session.log"
+
+# Idempotent pointer so BASELINE.md is self-consistent even when this
+# session ran unattended (nobody transcribed the new rows yet).
+if ! grep -q "tpu_session_r05/results.md" BASELINE.md; then
+  cat >> BASELINE.md <<'EOF'
+
+**Round-5 hardware session (unattended-capable).** The authoritative round-5
+measurements — config-5 and config-4 correct-numerics numbers, the MFU table,
+the d<=8 planar-dof A/B, and the stencil kernel's first chip run — are
+deposited stage-by-stage in `docs/tpu_session_r05/results.md` (+ raw logs
+alongside). If a row above disagrees with that file, the session file wins;
+rows are transcribed up here when a builder session is active.
+EOF
+fi
