@@ -116,14 +116,21 @@ def solver_bench(t, n_samples=480, iters=50, chunks=4):
     return out
 
 
-def planar_dof_bench(t, with_obstacles, iters=50, chunks=3):
-    """d<=8 long-horizon A/B (VERDICT r3 next #7): the ``[2T, 2T]`` dof
-    dense-apply path (``sample_method='dof'``) vs the pscan plane path (the
-    current d<=8 auto-gate winner) on the SAME planar workload. The dof side
-    replaces CostGP+CostGoalPrior with the exactly-equal fused quadratic
-    (its dof form carries the stencil), and the collision field evaluates on
-    the dof position planes directly (``CostCollision.eval_dof_planes``).
-    Requires ``2T <= 2048`` (the dof factor isn't built beyond)."""
+def planar_dof_bench(t, with_obstacles, iters=50, chunks=3, mode="dof"):
+    """d<=8 long-horizon A/B (VERDICT r3 next #7 / r4 #4) on the SAME planar
+    workload. Arms:
+
+    - ``mode='dof'`` — the ``[2T, 2T]`` per-dof dense-apply path
+      (``sample_method='dof'``): the fused quadratic's dof form carries the
+      stencil and the collision field evaluates on the dof position planes
+      directly (``CostCollision.eval_dof_planes``). Requires ``2T <= 2048``
+      (the dof factor isn't built beyond).
+    - ``mode='flat'`` — the DEFAULT path at these horizons: dense ``[M, M]``
+      weight apply + flat quadratic (what ``make_gp_prior``'s auto-switch
+      gives a d<=8 user below M=2048 today).
+
+    The pscan plane-path arm (long-horizon rows) comes from
+    ``iteration_bench`` (``materialize_dense=False``)."""
     from stoch_gpmp_tpu.costs import (
         CostCollision, CostComposite, CostGP, CostGoalPrior,
     )
@@ -158,15 +165,16 @@ def planar_dof_bench(t, with_obstacles, iters=50, chunks=3):
     cost = CostComposite.create(2, t, costs)
     prior = make_gp_prior(2, t, 0.02, start, 1e-3, 3.0, sigma_goal=1e-3,
                           goal_states=goals, dtype=dtype,
-                          materialize_dense=False)
+                          materialize_dense=None if mode == "flat" else False)
     sampler = SamplerModel.from_prior(prior)
     state = StochGPMPState(
         particle_means=jnp.repeat(prior.means, 15, axis=0),
         key=jax.random.key(0, impl="unsafe_rbg"),
     )
+    sample_method = "dof" if mode == "dof" else "dense"
     run = jax.jit(lambda st: stoch_gpmp_optimize(
         sampler, cost, st, {}, opt_iters=iters, num_samples=32,
-        temperature=1.0, step_size=0.5, sample_method="dof")[0])
+        temperature=1.0, step_size=0.5, sample_method=sample_method)[0])
     st = run(state)
     np.asarray(st.particle_means)
     t0 = time.perf_counter()
@@ -176,7 +184,8 @@ def planar_dof_bench(t, with_obstacles, iters=50, chunks=3):
     el = (time.perf_counter() - t0) / (iters * chunks)
     assert np.isfinite(final).all()
     return {
-        "config": f"planar-T{t}{'-obst' if with_obstacles else ''} dof-dense-apply",
+        "config": (f"planar-T{t}{'-obst' if with_obstacles else ''} "
+                   + ("dof-dense-apply" if mode == "dof" else "flat-dense")),
         "metric": "particle-trajectory updates/sec",
         "value": round(15 / el, 1),
         "ms_per_iter": round(el * 1e3, 3),
@@ -342,6 +351,10 @@ def main():
             if 2 * t <= 2048:
                 print(json.dumps(planar_dof_bench(t, False)), flush=True)
                 print(json.dumps(planar_dof_bench(t, True)), flush=True)
+                print(json.dumps(planar_dof_bench(t, False, mode="flat")),
+                      flush=True)
+                print(json.dumps(planar_dof_bench(t, True, mode="flat")),
+                      flush=True)
             print(json.dumps(iteration_bench(t, False)), flush=True)
             print(json.dumps(iteration_bench(t, True)), flush=True)
         return
