@@ -125,9 +125,11 @@ def planar_dof_bench(t, with_obstacles, iters=50, chunks=3, mode="dof"):
       stencil and the collision field evaluates on the dof position planes
       directly (``CostCollision.eval_dof_planes``). Requires ``2T <= 2048``
       (the dof factor isn't built beyond).
-    - ``mode='flat'`` — the DEFAULT path at these horizons: dense ``[M, M]``
-      weight apply + flat quadratic (what ``make_gp_prior``'s auto-switch
-      gives a d<=8 user below M=2048 today).
+    - ``mode='flat'`` — the legacy flat path at these horizons: dense
+      ``[M, M]`` weight apply + flat quadratic (the pre-round-5 default for
+      d<=8 below M=2048; the planner now auto-routes eligible stacks to the
+      dof path per this A/B, so the arm strips the sampler's dof factor to
+      keep the flat path measurable).
 
     The pscan plane-path arm (long-horizon rows) comes from
     ``iteration_bench`` (``materialize_dense=False``)."""
@@ -172,6 +174,8 @@ def planar_dof_bench(t, with_obstacles, iters=50, chunks=3, mode="dof"):
         key=jax.random.key(0, impl="unsafe_rbg"),
     )
     sample_method = "dof" if mode == "dof" else "dense"
+    if mode == "flat":
+        sampler = sampler.replace(dof=None)  # pin the legacy flat path
     run = jax.jit(lambda st: stoch_gpmp_optimize(
         sampler, cost, st, {}, opt_iters=iters, num_samples=32,
         temperature=1.0, step_size=0.5, sample_method=sample_method)[0])

@@ -480,21 +480,27 @@ def stoch_gpmp_optimize(
         and sample_method == "dense"
         and getattr(cost, "supports_planes", lambda: False)()
     )
-    if plane_eligible and shard_samples is None and sample_dtype is None:
-        return _stoch_gpmp_optimize_planes(
-            sampler, cost, state, observation, opt_iters=opt_iters,
-            num_samples=num_samples, temperature=temperature,
-            step_size=step_size, collect_metrics=collect_metrics,
-        )
 
     # Per-dof factored plane path (gp/dof_factored.py): the fast stack for
-    # d > 8 (Panda) — where the d<=8 plane path is fusion-gated off — and an
-    # explicit opt-in via sample_method='dof' elsewhere. Deterministic in the
-    # PROBLEM (not in observability toggles), like the plane gate above.
-    # Auto-routing requires a 128-aligned horizon: at T=64 the position
-    # planes pad 64->128 lanes per dof and the tiny per-dof matmuls lose to
-    # the flat stack's single big matmul (the parity config is latency-bound
-    # at 36 us/iter on the flat stack — docs/PERFORMANCE.md).
+    # EVERY dof-capable stack with a 128-aligned horizon and the dof factor
+    # built (2T <= 2048), plus an explicit opt-in via sample_method='dof'.
+    # Deterministic in the PROBLEM (not in observability toggles), like the
+    # plane gate below — but a DIFFERENT eps-stream mapping than the
+    # flat/plane paths, so the auto-gate picks the winner per problem, not a
+    # stream-stable default. Round-5 hardware A/B
+    # (benchmarks/long_horizon.py --planar-dof, v5e, d=2, 15 particles x 32
+    # samples, updates/s no-obst/obst):
+    #   T=128: dof 82.6/80.2k  flat 80.9/80.8k  pscan 72.2/72.9k
+    #   T=256: dof 79.8/76.0k  flat 75.5/62.6k  pscan 67.6/62.2k
+    #   T=512: dof 55.7/63.2k  flat 58.4/50.6k  pscan 51.1/47.5k
+    #   T=1024: dof 44.7/43.3k flat 19.4/18.4k  pscan 36.0/33.4k
+    # dof wins or ties at every eligible horizon (2.3x vs flat at T=1024),
+    # so it outranks both the plane path and the flat stack whenever
+    # eligible; beyond T=1024 the dof factor isn't built and the pscan
+    # plane path below takes over. Auto-routing still requires the
+    # 128-aligned horizon: at T=64 the position planes pad 64->128 lanes
+    # per dof and the tiny per-dof matmuls lose to the flat stack's single
+    # big matmul (latency-bound at 36 us/iter — docs/PERFORMANCE.md).
     dof_eligible = (
         sampler.dof is not None
         and sample_dtype is None
@@ -502,7 +508,7 @@ def stoch_gpmp_optimize(
         and (
             (shard_samples is None and (
                 sample_method == "dof"
-                or (sample_method == "dense" and d > 8 and t % 128 == 0)))
+                or (sample_method == "dense" and t % 128 == 0)))
             # multi-chip dof layout: an explicit dof-layout constraint
             # (parallel/sharding.py make_sharded_optimize(layout='dof'))
             # opts in; the legacy shard_samples constraint closes over the
@@ -523,6 +529,13 @@ def stoch_gpmp_optimize(
             "shard_dof requires the dof-factored path: sample_method='dof', "
             "a sampler with .dof, a dof-capable cost stack, and no "
             "shard_samples/sample_dtype"
+        )
+
+    if plane_eligible and shard_samples is None and sample_dtype is None:
+        return _stoch_gpmp_optimize_planes(
+            sampler, cost, state, observation, opt_iters=opt_iters,
+            num_samples=num_samples, temperature=temperature,
+            step_size=step_size, collect_metrics=collect_metrics,
         )
 
     def body(carry, _):

@@ -545,3 +545,64 @@ def test_pallas_dof_quad_eval_odd_batch_blocks():
             np.asarray(out), np.asarray(ref), rtol=3e-6,
             atol=1e-2 * float(np.abs(np.asarray(ref)).max()),
         )
+
+
+def test_dof_auto_gate_routes_d2_t128(monkeypatch):
+    """Round-5 hardware A/B gate (docs/PERFORMANCE.md): with the dof factor
+    built and a dof-capable cost stack, ``sample_method='dense'`` auto-routes
+    to the dof path for ANY d when the horizon is 128-aligned — and stays on
+    the flat/plane stack at T=64 (the 64->128 lane pad loses there)."""
+    import stoch_gpmp_tpu.planners.stoch_gpmp as sg
+    from stoch_gpmp_tpu.costs import CostComposite, CostGP, CostGoalPrior
+    from stoch_gpmp_tpu.planners import (
+        SamplerModel, StochGPMPState, stoch_gpmp_optimize,
+    )
+
+    def build(t):
+        dtype = jnp.float32
+        start = jnp.asarray([-9.0, -9.0, 0, 0], dtype)
+        goals = jnp.asarray([[9.0, 6.0, 0, 0]], dtype)
+        gp = CostGP.create(2, t, start, 0.02,
+                           {"sigma_start": 1e-3, "sigma_gp": 0.1}, dtype=dtype)
+        gprior = CostGoalPrior.create(2, t, goals, sigma_goal_prior=1e-3,
+                                      dtype=dtype)
+        cost = CostComposite.create(
+            2, t, [QuadraticCost.from_gp_and_goal_prior(gp, gprior, t)]
+        )
+        prior = make_gp_prior(2, t, 0.02, start, 1e-3, 3.0, sigma_goal=1e-3,
+                              goal_states=goals, dtype=dtype)
+        sampler = SamplerModel.from_prior(prior)
+        assert sampler.dof is not None  # 2T <= 2048: dof factor built
+        assert cost.supports_dof_planes()
+        state = StochGPMPState(particle_means=jnp.repeat(prior.means, 3, axis=0),
+                               key=jax.random.PRNGKey(7))
+        return sampler, cost, state
+
+    calls = []
+    real_dof_path = sg._stoch_gpmp_optimize_dof
+
+    def spy(*a, **kw):
+        calls.append(True)
+        return real_dof_path(*a, **kw)
+
+    monkeypatch.setattr(sg, "_stoch_gpmp_optimize_dof", spy)
+
+    kwargs = dict(opt_iters=2, num_samples=8, temperature=1.0, step_size=0.5)
+
+    # T=128: dense auto-routes to the dof path, bit-identical to explicit opt-in.
+    sampler, cost, state = build(128)
+    st_dense, _ = stoch_gpmp_optimize(sampler, cost, state, {},
+                                      sample_method="dense", **kwargs)
+    assert calls, "T=128 dense run did not reach the dof path"
+    st_dof, _ = stoch_gpmp_optimize(sampler, cost, state, {},
+                                    sample_method="dof", **kwargs)
+    np.testing.assert_array_equal(np.asarray(st_dense.particle_means),
+                                  np.asarray(st_dof.particle_means))
+
+    # T=64 (parity scale, not 128-aligned): the gate stays off.
+    calls.clear()
+    sampler, cost, state = build(64)
+    st64, _ = stoch_gpmp_optimize(sampler, cost, state, {},
+                                  sample_method="dense", **kwargs)
+    assert not calls, "T=64 dense run must NOT route to the dof path"
+    assert np.isfinite(np.asarray(st64.particle_means)).all()
