@@ -116,7 +116,7 @@ def solver_bench(t, n_samples=480, iters=50, chunks=4):
     return out
 
 
-def planar_dof_bench(t, with_obstacles, iters=50, chunks=3, mode="dof"):
+def planar_dof_bench(t, with_obstacles, iters=200, chunks=5, mode="dof"):
     """d<=8 long-horizon A/B (VERDICT r3 next #7 / r4 #4) on the SAME planar
     workload. Arms:
 

@@ -183,7 +183,7 @@ def fused_planar_mfu(name, ppg, num_samples, opt_iters, n_chunks=3):
     return _emit(name, per_iter, p, flops_iter, bytes_iter, "analytic_matmul")
 
 
-def fused_dof_mfu(name, opt_iters=50, n_chunks=3):
+def fused_dof_mfu(name, opt_iters=200, n_chunks=5):
     """Config 5 via the fused dof-factored kernel: per iteration the MXU
     work is the ``[N*d, 2T] @ [2T, 2T]`` sampling matmul + the eye-repeat
     segment matmul; the quadratic runs as the O(T) VPU stencil
@@ -246,7 +246,7 @@ def main():
                 num_goals=10, ppg=128, traj_len=128, num_samples=8
             )
             xla_stoch_gpmp_mfu("panda-scaling-10x128 (xla dof)", sampler,
-                               cost, state, obs, num_samples=s, opt_iters=50,
+                               cost, state, obs, num_samples=s, opt_iters=200,
                                step_size=0.1)
             if on_tpu:
                 fused_dof_mfu("panda-scaling-10x128 (fused dof)")
