@@ -489,12 +489,12 @@ def stoch_gpmp_optimize(
     # flat/plane paths, so the auto-gate picks the winner per problem, not a
     # stream-stable default. Round-5 hardware A/B
     # (benchmarks/long_horizon.py --planar-dof, v5e, d=2, 15 particles x 32
-    # samples, updates/s no-obst/obst):
-    #   T=128: dof 82.6/80.2k  flat 80.9/80.8k  pscan 72.2/72.9k
-    #   T=256: dof 79.8/76.0k  flat 75.5/62.6k  pscan 67.6/62.2k
-    #   T=512: dof 55.7/63.2k  flat 58.4/50.6k  pscan 51.1/47.5k
-    #   T=1024: dof 44.7/43.3k flat 19.4/18.4k  pscan 36.0/33.4k
-    # dof wins or ties at every eligible horizon (2.3x vs flat at T=1024),
+    # samples, idle host, 1000-iter amortization; updates/s no-obst/obst):
+    #   T=128: dof 358/374k  flat 359/322k  pscan 75/71k
+    #   T=256: dof 348/285k  flat 285/211k  pscan 65/65k
+    #   T=512: dof 231/199k  flat 139/97k   pscan 50/50k
+    #   T=1024: dof 108/91k  flat 26/23k    pscan 35/34k
+    # dof wins or ties at every eligible horizon (4.2x vs flat at T=1024),
     # so it outranks both the plane path and the flat stack whenever
     # eligible; beyond T=1024 the dof factor isn't built and the pscan
     # plane path below takes over. Auto-routing still requires the
