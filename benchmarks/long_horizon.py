@@ -196,7 +196,7 @@ def planar_dof_bench(t, with_obstacles, iters=200, chunks=5, mode="dof"):
     }
 
 
-def gn_bench(t, with_obstacles, method="woodbury", iters=20, chunks=3,
+def gn_bench(t, with_obstacles, method="woodbury", iters=100, chunks=5,
              particles=15, delta=None):
     """Gauss-Newton (GPMP) iteration time: the structured sequential-over-T
     Cholesky vs the parallel-in-time Woodbury solve (planners/gpmp.py). The
@@ -204,18 +204,19 @@ def gn_bench(t, with_obstacles, method="woodbury", iters=20, chunks=3,
     (``planner.py:600-633``). ``--horizons 64`` with ``--gn-particles 192``
     reproduces the planar parity scale of docs/PERFORMANCE.md.
 
-    ``delta`` defaults by horizon: 1e-2 at the parity scale, 1.0 at t >= 512
+    ``delta`` defaults by horizon: 1e-2 at the parity scale, 10.0 at t >= 512
     — undamped GN against the 1e10-weight collision hinge diverges at long
     horizons on EVERY backend (measured: f32 CPU and TPU alike blow up
-    within ~40 iterations at T=1024 with delta <= 0.1; the Levenberg remedy
-    — raise the damping — keeps it contracting). Damping does not change
+    within ~40 iterations at T=1024 with delta <= 0.1, and within ~500
+    iterations at delta = 1.0 — the round-5 deep-amortization protocol runs
+    500, so the default damping rose with it). Damping does not change
     the per-iteration work being timed."""
     from stoch_gpmp_tpu.planners.gpmp import (
         GPMPState, build_woodbury, gpmp_optimize,
     )
 
     if delta is None:
-        delta = 1.0 if t >= 512 else 1e-2
+        delta = 10.0 if t >= 512 else 1e-2
     sampler, cost, state = _problem(t, with_obstacles)
     del sampler
     means = state.particle_means
@@ -337,7 +338,7 @@ def main():
     ap.add_argument("--horizons", type=int, nargs="+", default=[1024, 4096])
     ap.add_argument("--planner", choices=["stochgpmp", "gpmp"],
                     default="stochgpmp")
-    ap.add_argument("--gn-iters", type=int, default=20)
+    ap.add_argument("--gn-iters", type=int, default=100)
     ap.add_argument("--gn-particles", type=int, default=15)
     ap.add_argument("--gn-delta", type=float, default=None,
                     help="GN damping (default: 1e-2, or 1.0 at t >= 512 — "
