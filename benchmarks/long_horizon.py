@@ -65,7 +65,7 @@ def _problem(t, with_obstacles):
     return sampler, cost, state
 
 
-def iteration_bench(t, with_obstacles, iters=50, chunks=3):
+def iteration_bench(t, with_obstacles, iters=200, chunks=5):
     from stoch_gpmp_tpu.planners import stoch_gpmp_optimize
 
     sampler, cost, state = _problem(t, with_obstacles)
