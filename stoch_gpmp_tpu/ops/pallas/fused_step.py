@@ -396,16 +396,15 @@ def _kernel_batched(
     prec_rows = jnp.repeat(prec_u_ref[:], s, axis=0)
     cost = cost + temperature * jnp.sum(x * prec_rows, axis=1, keepdims=True)
 
-    # segmented softmax over each particle's contiguous S-row block
-    # (concatenate per-segment results — in-kernel scatter is unsupported)
-    w_parts = []
-    for i in range(p):
-        c_i = cost[i * s : (i + 1) * s]
-        neg = -c_i / temperature
-        neg = neg - jnp.max(neg, axis=0, keepdims=True)
-        e = jnp.exp(neg)
-        w_parts.append(e / jnp.sum(e, axis=0, keepdims=True))
-    wts = jnp.concatenate(w_parts, axis=0)
+    # segmented softmax over each particle's contiguous S-row block:
+    # reshape [N, 1] -> [P, S] (the relayout costs_ref does below), softmax
+    # each row, reshape back — whole-block VPU ops instead of the P-piece
+    # unrolled loop + concatenate (round 5; bit-equal, on-chip tested)
+    c2 = cost.reshape(p, s)
+    neg = -c2 / temperature
+    neg = neg - jnp.max(neg, axis=1, keepdims=True)
+    e = jnp.exp(neg)
+    wts = (e / jnp.sum(e, axis=1, keepdims=True)).reshape(p * s, 1)
 
     # grad_p = sum_s w_ps (x_ps - mean_p): one segment matmul via block one-hot
     seg = jnp.repeat(

@@ -202,14 +202,15 @@ def _kernel(
         cost = cost + w_goal * (dist * dist)  # [N, 1]
 
     # --- segmented softmax + per-dof weighted mean update --------------------
-    w_parts = []
-    for i in range(p):
-        c_i = cost[i * s : (i + 1) * s]
-        neg = -c_i / temperature
-        neg = neg - jnp.max(neg, axis=0, keepdims=True)
-        e = jnp.exp(neg)
-        w_parts.append(e / jnp.sum(e, axis=0, keepdims=True))
-    wts = jnp.concatenate(w_parts, axis=0)  # [N, 1]
+    # Segments are contiguous S-row blocks: reshape [N, 1] -> [P, S] (the
+    # same relayout costs_ref already does below), softmax each row, and
+    # reshape back — 4 whole-block VPU ops instead of the P-piece unrolled
+    # loop + concatenate this replaced (round 5; bit-equal, parity-tested).
+    c2 = cost.reshape(p, s)
+    neg = -c2 / temperature
+    neg = neg - jnp.max(neg, axis=1, keepdims=True)
+    e = jnp.exp(neg)
+    wts = (e / jnp.sum(e, axis=1, keepdims=True)).reshape(n, 1)  # [N, 1]
     # Mosaic lowers the axis-0 eye-repeat (sublane broadcast); the axis-1
     # variant hits an unsupported vector shape cast.
     seg = jnp.repeat(jnp.eye(p, dtype=jnp.float32), s, axis=0)  # [N, P]
