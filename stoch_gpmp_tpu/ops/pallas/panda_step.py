@@ -181,14 +181,14 @@ def _kernel(
     cost = cost + temperature * jnp.sum(x * prec_rows, axis=1, keepdims=True)
 
     # --- 8. segmented softmax + weighted mean update -----------------------------
-    w_parts = []
-    for i in range(p):
-        c_i = cost[i * s : (i + 1) * s]
-        neg = -c_i / temperature
-        neg = neg - jnp.max(neg, axis=0, keepdims=True)
-        e = jnp.exp(neg)
-        w_parts.append(e / jnp.sum(e, axis=0, keepdims=True))
-    wts = jnp.concatenate(w_parts, axis=0)
+    # reshape [N, 1] -> [P, S] (the relayout costs_ref does below), softmax
+    # each row, reshape back — whole-block VPU ops instead of the P-piece
+    # unrolled loop + concatenate (round 5; bit-equal, on-chip tested)
+    c2 = cost.reshape(p, s)
+    neg = -c2 / temperature
+    neg = neg - jnp.max(neg, axis=1, keepdims=True)
+    e = jnp.exp(neg)
+    wts = (e / jnp.sum(e, axis=1, keepdims=True)).reshape(p * s, 1)
     seg = jnp.repeat(jnp.eye(p, dtype=jnp.float32), s, axis=0)  # [N, P]
     weighted = wts * (x - mean_rows)
     grad = jnp.dot(seg.T, weighted, preferred_element_type=jnp.float32)  # [P, M]
