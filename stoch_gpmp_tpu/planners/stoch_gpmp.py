@@ -30,6 +30,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from stoch_gpmp_tpu.gp.prior import GPPrior, make_gp_prior
@@ -620,6 +621,7 @@ class StochGPMP:
         sample_method: str = "dense",
         prng_impl: str | None = None,
         mesh=None,
+        fused_kernel: bool = False,
         **kwargs,
     ):
         # prng_impl: None -> jax default (threefry: reproducible and stable
@@ -631,6 +633,17 @@ class StochGPMP:
         # 'p', Monte-Carlo samples over 's' (sample_method='dof' uses the
         # dof-factored sharded layout). Same trajectories as single-device
         # up to f32 all-reduce ordering (tested on the virtual mesh).
+        # fused_kernel: opt into the fully-fused dof Pallas iteration for
+        # the Panda-style stack (planners/fused_exec.py — ~1.7x the XLA dof
+        # path at BASELINE config 5). Different (hardware-PRNG) eps stream;
+        # optimize() keeps the FINAL iteration on the normal path so the
+        # reference-shaped aux/samples API is intact. Incompatible with
+        # mesh= and ignored when collect_metrics=True (per-iteration
+        # metrics need the per-iteration aux).
+        if fused_kernel and mesh is not None:
+            raise ValueError("fused_kernel=True is single-chip only (no mesh=)")
+        self.fused_kernel = fused_kernel
+        self._fused_cache: dict = {}
         self.mesh = mesh
         self._sharded_cache: dict = {}
         self.n_dof = n_dof
@@ -728,6 +741,7 @@ class StochGPMP:
         )
         self.sampler = SamplerModel.from_prior(sample_prior)
         self.state = StochGPMPState(particle_means=particle_means, key=self._key)
+        self._fused_cache = {}  # executor closes over the sampler/goals
         if self.mesh is not None:
             from stoch_gpmp_tpu.parallel import shard_planner_state
 
@@ -763,6 +777,11 @@ class StochGPMP:
         observation.update(obs_kwargs)
         iters = self.opt_iters if opt_iters is None else opt_iters
 
+        if self.fused_kernel and not collect_metrics and iters > 1:
+            run = self._fused_runner(observation)
+            self.state = run(self.state, iters - 1)
+            iters = 1  # final iteration on the normal path -> full aux
+
         if self.mesh is not None:
             out = self._sharded_runner(iters, collect_metrics)(
                 self.sampler, self.cost, self.state, observation
@@ -795,6 +814,33 @@ class StochGPMP:
             aux.costs,
             aux.grad,
         )
+
+    def _fused_runner(self, observation: dict):
+        """Cached fused-kernel executor (``fused_kernel=True`` mode); keyed
+        on the statics the executor bakes in plus the obstacle spheres'
+        bytes (they ride into the kernel as a constant operand)."""
+        spheres = observation.get("obstacle_spheres", None)
+        skey = (None if spheres is None
+                else np.asarray(spheres).astype(np.float32).tobytes())
+        key = (skey, self.num_samples, self.temperature, self.step_size)
+        if key not in self._fused_cache:
+            from stoch_gpmp_tpu.planners.fused_exec import (
+                build_fused_dof_executor,
+            )
+
+            run, reason = build_fused_dof_executor(
+                self.sampler, self.cost, observation,
+                num_particles=self.num_particles,
+                num_samples=self.num_samples,
+                temperature=self.temperature,
+                step_size=self.step_size,
+            )
+            if run is None:
+                raise ValueError(
+                    f"fused_kernel=True but the stack is ineligible: {reason}"
+                )
+            self._fused_cache[key] = run
+        return self._fused_cache[key]
 
     def _sharded_runner(self, iters: int, collect_metrics: bool):
         """Cached sharded optimize (``mesh=`` mode) for one static config.

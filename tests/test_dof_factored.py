@@ -606,3 +606,57 @@ def test_dof_auto_gate_routes_d2_t128(monkeypatch):
                                   sample_method="dense", **kwargs)
     assert not calls, "T=64 dense run must NOT route to the dof path"
     assert np.isfinite(np.asarray(st64.particle_means)).all()
+
+
+def test_fused_executor_eligibility_reasons():
+    """planners/fused_exec.py returns targeted reasons for ineligible
+    stacks (the backend gate is LAST, so these are CPU-checkable), and the
+    planner class surfaces them / rejects mesh+fused at construction."""
+    from stoch_gpmp_tpu.costs import CostComposite, CostGP, CostGoalPrior
+    from stoch_gpmp_tpu.planners import SamplerModel
+    from stoch_gpmp_tpu.planners.fused_exec import build_fused_dof_executor
+
+    n_dof, dt = 2, 0.02
+    start = jnp.asarray([-9.0, -9.0, 0, 0], jnp.float32)
+    goals = jnp.asarray([[9.0, 6.0, 0, 0]], jnp.float32)
+
+    def stack(t):
+        gp = CostGP.create(n_dof, t, start, dt,
+                           {"sigma_start": 1e-3, "sigma_gp": 0.1},
+                           dtype=jnp.float32)
+        gprior = CostGoalPrior.create(n_dof, t, goals, sigma_goal_prior=1e-3,
+                                      dtype=jnp.float32)
+        quad = QuadraticCost.from_gp_and_goal_prior(gp, gprior, t)
+        prior = make_gp_prior(n_dof, t, dt, start, 1e-3, 3.0, sigma_goal=1e-3,
+                              goal_states=goals, dtype=jnp.float32)
+        return SamplerModel.from_prior(prior), quad, gp, gprior
+
+    kw = dict(num_particles=4, num_samples=8, temperature=1.0, step_size=0.1)
+
+    # wrong composition
+    sampler, quad, gp, gprior = stack(128)
+    from stoch_gpmp_tpu.costs import CostComposite as CC
+    run, reason = build_fused_dof_executor(
+        sampler, CC.create(n_dof, 128, [gp, gprior]), {}, **kw)
+    assert run is None and "CostComposite" in reason
+
+    # non-128-aligned horizon (needs the full eligible composition shape;
+    # a quad-only composite fails the composition check first)
+    sampler64, quad64, _, _ = stack(64)
+    run, reason = build_fused_dof_executor(
+        sampler64, CC.create(n_dof, 64, [quad64, quad64]), {}, **kw)
+    assert run is None and ("PlaneFieldsCost" in reason or "128" in reason)
+
+    # mesh + fused rejected at construction
+    import pytest as _pytest
+    from stoch_gpmp_tpu.planners import StochGPMP
+    with _pytest.raises(ValueError, match="single-chip"):
+        StochGPMP(
+            num_particles_per_goal=2, num_samples=4, traj_len=64, dt=dt,
+            n_dof=n_dof, opt_iters=2, start_state=start,
+            multi_goal_states=goals,
+            cost=CC.create(n_dof, 64, [quad64]),
+            sigma_start_init=1e-3, sigma_goal_init=1e-3, sigma_gp_init=20.0,
+            sigma_start_sample=1e-3, sigma_goal_sample=1e-3,
+            sigma_gp_sample=3.0, fused_kernel=True, mesh=object(),
+        )

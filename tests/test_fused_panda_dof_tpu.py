@@ -217,3 +217,57 @@ def test_fused_dof_descends_like_xla_path():
     # 0's initial state would flag that initialization spread as drift
     init0 = np.asarray(state.particle_means)[:, 0]
     np.testing.assert_allclose(means[:, 0], init0, atol=2e-2)
+
+
+def test_planner_class_fused_kernel_opt_in():
+    """``StochGPMP(fused_kernel=True)`` runs iters-1 through the fused dof
+    kernel and the final iteration on the normal path: the reference-shaped
+    6-tuple / recent-samples API is intact, the run descends, and the start
+    stays anchored (planners/fused_exec.py)."""
+    from stoch_gpmp_tpu.gp.dof_factored import to_dof_planes
+    from stoch_gpmp_tpu.planners import StochGPMP
+
+    sampler, cost, state, obs, s = _problem()
+    quad, fields = cost.costs
+    n_dof, t = fields.n_dof, fields.traj_len
+    start_q = jnp.asarray(
+        [0.012, -0.57, 0.0, -2.81, 0.0, 3.037, 0.741], jnp.float32
+    )
+    start = jnp.concatenate([start_q, jnp.zeros_like(start_q)])
+    g_pd = np.asarray(quad.dof_form.g_pd)  # [G, d, 2] goal anchors
+    goals = jnp.asarray(
+        np.concatenate([g_pd[:, :, 0], g_pd[:, :, 1]], axis=-1), jnp.float32
+    )
+
+    planner = StochGPMP(
+        num_particles_per_goal=4, num_samples=s, traj_len=t, dt=0.05,
+        n_dof=n_dof, opt_iters=50, temperature=1.0, start_state=start,
+        multi_goal_states=goals, cost=cost, step_size=0.1,
+        sigma_start_init=1e-3, sigma_goal_init=0.07, sigma_gp_init=0.1,
+        sigma_start_sample=1e-3, sigma_goal_sample=0.07,
+        sigma_gp_sample=0.1, seed=0, dtype=jnp.float32, fused_kernel=True,
+    )
+    cost_of = jax.jit(
+        lambda tr: cost.eval_dof_planes(
+            to_dof_planes(tr), observation=obs
+        ).mean()
+    )
+    c0 = float(cost_of(planner.particle_means))
+    out = planner.optimize(observation=obs)
+    assert len(out) == 6
+    for o in out:
+        assert np.isfinite(np.asarray(o)).all()
+    p = planner.num_particles
+    assert out[0].shape == (p, t, n_dof)  # mean positions
+    assert out[2].shape == (p, s, t, n_dof)  # sample positions (final iter)
+    sp, sv = planner.get_recent_samples()
+    assert sp.shape == (p, s, t, n_dof) and sv.shape == (p, s, t, n_dof)
+    assert planner.get_traj("best").shape == (t, 2 * n_dof)
+    c1 = float(cost_of(planner.particle_means))
+    assert c1 < c0
+    means = np.asarray(planner.particle_means)
+    np.testing.assert_allclose(
+        means[:, 0, :n_dof],
+        np.broadcast_to(np.asarray(start_q), (p, n_dof)),
+        atol=2e-2,
+    )
