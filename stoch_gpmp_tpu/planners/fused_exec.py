@@ -116,3 +116,97 @@ def build_fused_dof_executor(
         )
 
     return run, None
+
+
+def build_fused_planar_executor(
+    sampler,
+    cost,
+    observation: dict,
+    *,
+    num_particles: int,
+    num_samples: int,
+    temperature: float,
+    step_size: float,
+):
+    """Planar counterpart of ``build_fused_dof_executor``: the batched
+    single-kernel planar iteration (``ops/pallas/fused_step.py`` — the
+    ``bench.py`` headline path) for the stack
+    ``CostComposite([QuadraticCost, CostCollision(RasterPrimitive2DField)])``
+    at d=2. Returns ``(run, None)`` or ``(None, reason)``."""
+    from stoch_gpmp_tpu.costs import CostCollision, CostComposite
+    from stoch_gpmp_tpu.costs.fields import RasterPrimitive2DField
+    from stoch_gpmp_tpu.costs.quadratic import QuadraticCost
+    from stoch_gpmp_tpu.ops.pallas.fused_step import (
+        fused_planar_optimize_batched,
+        make_fused_planar_step_batched,
+    )
+
+    if not isinstance(cost, CostComposite) or len(cost.costs) != 2:
+        return None, ("cost must be CostComposite([QuadraticCost, "
+                      "CostCollision(RasterPrimitive2DField)])")
+    quad = next((c for c in cost.costs if isinstance(c, QuadraticCost)), None)
+    coll = next((c for c in cost.costs if isinstance(c, CostCollision)), None)
+    if quad is None or coll is None or not isinstance(
+        coll.field, RasterPrimitive2DField
+    ):
+        return None, ("cost must be CostComposite([QuadraticCost, "
+                      "CostCollision(RasterPrimitive2DField)])")
+    if getattr(quad, "dof_form", None) is None:
+        return None, "QuadraticCost has no dof form (needs scalar sigmas)"
+    if coll.n_dof != 2:
+        return None, "planar fused kernel is d=2 only"
+    if sampler.weight_t is None:
+        return None, "sampler has no dense factor (long-horizon mode)"
+    if sampler.dof is None:
+        return None, "sampler has no dof factor (needs scalar sigmas)"
+    t = cost.traj_len
+    if coll.traj_range != (1, t):
+        return None, ("collision slice must be the reference default (1, T) "
+                      "— the kernel's tmask masks exactly t=0")
+    if (4 * t) % 128 != 0:
+        return None, f"traj_len={t} not a multiple of 32 (M=4T kernel lanes)"
+    if jax.default_backend() != "tpu":
+        return None, "fused_kernel needs the TPU backend (hardware PRNG)"
+
+    field = coll.field
+    step = make_fused_planar_step_batched(
+        weight_t=sampler.weight_t,
+        dof_prior=sampler.dof,
+        dof_quad=quad.dof_form,
+        num_particles=num_particles,
+        rect_bounds=field.rect_bounds,
+        circles=field.circles,
+        cell_size=field.cell_size,
+        nx=field.nx,
+        ny=field.ny,
+        traj_len=t,
+        state_dim=4,
+        num_samples=num_samples,
+        k_coll=1.0 / coll.sigma_coll**2,
+        temperature=temperature,
+        step_size=step_size,
+    )
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _run(means, key, opt_iters):
+        return fused_planar_optimize_batched(step, means, key, opt_iters)
+
+    def run(state, opt_iters: int):
+        means, key = _run(state.particle_means, state.key, opt_iters)
+        return state.replace(
+            particle_means=means.astype(state.particle_means.dtype), key=key
+        )
+
+    return run, None
+
+
+def build_fused_executor(sampler, cost, observation, **kw):
+    """Try every fused-kernel executor for this stack; returns
+    ``(run, None)`` on the first match or ``(None, combined reasons)``."""
+    run, r_panda = build_fused_dof_executor(sampler, cost, observation, **kw)
+    if run is not None:
+        return run, None
+    run, r_planar = build_fused_planar_executor(sampler, cost, observation, **kw)
+    if run is not None:
+        return run, None
+    return None, f"panda kernel: {r_panda}; planar kernel: {r_planar}"

@@ -633,9 +633,11 @@ class StochGPMP:
         # 'p', Monte-Carlo samples over 's' (sample_method='dof' uses the
         # dof-factored sharded layout). Same trajectories as single-device
         # up to f32 all-reduce ordering (tested on the virtual mesh).
-        # fused_kernel: opt into the fully-fused dof Pallas iteration for
-        # the Panda-style stack (planners/fused_exec.py — ~1.7x the XLA dof
-        # path at BASELINE config 5). Different (hardware-PRNG) eps stream;
+        # fused_kernel: opt into the fully-fused single-Pallas-kernel
+        # iteration (planners/fused_exec.py) — the Panda dof kernel (~2x
+        # the XLA dof path at BASELINE config 5) or the batched planar
+        # kernel (the bench.py headline path), auto-matched to the cost
+        # stack. Different (hardware-PRNG) eps stream;
         # optimize() keeps the FINAL iteration on the normal path so the
         # reference-shaped aux/samples API is intact. Incompatible with
         # mesh= and ignored when collect_metrics=True (per-iteration
@@ -825,10 +827,10 @@ class StochGPMP:
         key = (skey, self.num_samples, self.temperature, self.step_size)
         if key not in self._fused_cache:
             from stoch_gpmp_tpu.planners.fused_exec import (
-                build_fused_dof_executor,
+                build_fused_executor,
             )
 
-            run, reason = build_fused_dof_executor(
+            run, reason = build_fused_executor(
                 self.sampler, self.cost, observation,
                 num_particles=self.num_particles,
                 num_samples=self.num_samples,

@@ -647,6 +647,20 @@ def test_fused_executor_eligibility_reasons():
         sampler64, CC.create(n_dof, 64, [quad64, quad64]), {}, **kw)
     assert run is None and ("PlaneFieldsCost" in reason or "128" in reason)
 
+    # planar executor: same wrong-composition stack gets a planar-specific
+    # reason, and the combined dispatcher reports both kernels' reasons.
+    from stoch_gpmp_tpu.planners.fused_exec import (
+        build_fused_executor,
+        build_fused_planar_executor,
+    )
+    run, reason = build_fused_planar_executor(
+        sampler, CC.create(n_dof, 128, [gp, gprior]), {}, **kw)
+    assert run is None and "CostComposite" in reason
+    run, reason = build_fused_executor(
+        sampler, CC.create(n_dof, 128, [gp, gprior]), {}, **kw)
+    assert run is None
+    assert "panda kernel:" in reason and "planar kernel:" in reason
+
     # mesh + fused rejected at construction
     import pytest as _pytest
     from stoch_gpmp_tpu.planners import StochGPMP

@@ -94,3 +94,46 @@ def test_fused_sampler_moments():
     ratio = emp_var / want_var
     assert 0.85 < np.median(ratio) < 1.15
     assert np.abs(d.mean(axis=(0, 1))).max() < 0.02
+
+
+def test_planner_class_fused_kernel_planar():
+    """``StochGPMP(fused_kernel=True)`` matches the planar stack to the
+    batched single-kernel iteration (planners/fused_exec.py) and keeps the
+    reference-shaped API; the run descends and anchors the start."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from __graft_entry__ import _build_problem
+    from stoch_gpmp_tpu.planners import StochGPMP
+
+    sampler, cost, state = _build_problem(
+        n_dof=2, traj_len=64, num_goals=3, ppg=5, with_obstacles=True,
+        fast=True,
+    )
+    start = jnp.asarray([-9.0, -9.0, 0, 0], jnp.float32)
+    goals = jnp.asarray(
+        [[9, 6, 0, 0], [9, -3, 0, 0], [-3, 9, 0, 0]], jnp.float32
+    )
+    planner = StochGPMP(
+        num_particles_per_goal=5, num_samples=32, traj_len=64, dt=0.02,
+        n_dof=2, opt_iters=100, temperature=1.0, start_state=start,
+        multi_goal_states=goals, cost=cost, step_size=0.5,
+        sigma_start_init=1e-3, sigma_goal_init=1e-3, sigma_gp_init=20.0,
+        sigma_start_sample=1e-3, sigma_goal_sample=1e-3, sigma_gp_sample=3.0,
+        seed=0, dtype=jnp.float32, fused_kernel=True,
+    )
+    c0 = float(cost.eval(planner.particle_means).mean())
+    out = planner.optimize()
+    assert len(out) == 6
+    for o in out:
+        assert np.isfinite(np.asarray(o)).all()
+    p = planner.num_particles
+    assert out[0].shape == (p, 64, 2)
+    assert out[2].shape == (p, 32, 64, 2)
+    c1 = float(cost.eval(planner.particle_means).mean())
+    assert c1 < c0
+    means = np.asarray(planner.particle_means)
+    np.testing.assert_allclose(
+        means[:, 0, :2], np.broadcast_to([-9.0, -9.0], (p, 2)), atol=5e-2
+    )
